@@ -1,0 +1,242 @@
+"""Functional layer primitives for neuroclear_tpu.
+
+Layers are small frozen dataclasses: ``layer.init(key, init_type, gain)``
+returns a param dict, ``layer.apply(params, x)`` is a pure function.  Network
+parameters are plain nested dicts (pytrees) — transparent to ``jax.grad``,
+``optax`` and ``pjit``.
+
+Layout conventions (TPU-native, channels-last):
+  * 3D tensors: ``(N, Z, Y, X, C)``  — conv kernels ``(kz, ky, kx, Cin, Cout)``.
+  * 2D tensors: ``(N, H, W, C)``     — conv kernels ``(kh, kw, Cin, Cout)``.
+
+This mirrors the behaviour (not the torch layout) of the reference network
+helpers in ``/root/reference/models/networks.py:361-411`` (dimension-dispatch
+conv/maxpool/convtranspose) and ``:20-44`` (instance norm, affine=False).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Weight initialisation (reference: models/networks.py:88-119 init_weights)
+# ---------------------------------------------------------------------------
+
+
+def _fans(kshape: Tuple[int, ...], transpose: bool) -> Tuple[int, int]:
+    """fan_in / fan_out matching torch's _calculate_fan_in_and_fan_out.
+
+    For a normal conv weight (out,in,*k) torch uses fan_in = in*prod(k).
+    For a transposed conv weight (in,out,*k) torch's rule keys off dim 1,
+    giving fan_in = out*prod(k).  Our kernels are (*k, I, O).
+    """
+    receptive = int(np.prod(kshape[:-2]))
+    i, o = kshape[-2], kshape[-1]
+    if transpose:
+        return o * receptive, i * receptive
+    return i * receptive, o * receptive
+
+
+def init_weight(key, kshape, init_type: str, gain: float, transpose: bool = False):
+    """Sample a conv/linear weight per the reference init schemes.
+
+    normal: N(0, gain); xavier: N(0, gain*sqrt(2/(fi+fo)));
+    kaiming: N(0, sqrt(2/fan_in)); orthogonal: orthogonal*gain.
+    """
+    fan_in, fan_out = _fans(kshape, transpose)
+    if init_type == "normal":
+        return jax.random.normal(key, kshape) * gain
+    if init_type == "xavier":
+        std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+        return jax.random.normal(key, kshape) * std
+    if init_type == "kaiming":
+        std = math.sqrt(2.0 / fan_in)
+        return jax.random.normal(key, kshape) * std
+    if init_type == "orthogonal":
+        # Flatten to (rows=out, cols=rest) like torch.nn.init.orthogonal_.
+        rows = kshape[-1]
+        cols = int(np.prod(kshape)) // rows
+        a = jax.random.normal(key, (max(rows, cols), min(rows, cols)))
+        q, r = jnp.linalg.qr(a)
+        q = q * jnp.sign(jnp.diagonal(r))
+        if rows < cols:
+            q = q.T
+        w = q[:rows, :cols] * gain
+        # back to (*k, I, O): torch layout is (O, rest); transpose to (rest, O)
+        return w.reshape((rows,) + kshape[:-1]).transpose(
+            tuple(range(1, len(kshape))) + (0,)
+        )
+    raise NotImplementedError(f"initialization method [{init_type}] is not implemented")
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+
+def _dim_numbers(dim: int):
+    if dim == 2:
+        return ("NHWC", "HWIO", "NHWC")
+    if dim == 3:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    raise ValueError("Invalid image dimension.")
+
+
+@dataclasses.dataclass(frozen=True)
+class Conv:
+    """N-d convolution with torch-style symmetric integer padding.
+
+    Matches nn.Conv2d/Conv3d(in, out, k, stride, padding) semantics
+    (reference dimension dispatch: models/networks.py:361-369).
+    """
+
+    dim: int
+    in_c: int
+    out_c: int
+    k: int
+    stride: int = 1
+    pad: int = 0
+    bias: bool = True
+
+    def init(self, key, init_type: str = "normal", gain: float = 0.02) -> Params:
+        kshape = (self.k,) * self.dim + (self.in_c, self.out_c)
+        p = {"w": init_weight(key, kshape, init_type, gain)}
+        if self.bias:
+            p["b"] = jnp.zeros((self.out_c,))
+        return p
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        y = jax.lax.conv_general_dilated(
+            x,
+            params["w"].astype(x.dtype),
+            window_strides=(self.stride,) * self.dim,
+            padding=((self.pad, self.pad),) * self.dim,
+            dimension_numbers=_dim_numbers(self.dim),
+        )
+        if self.bias:
+            y = y + params["b"].astype(y.dtype)
+        return y
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvTranspose:
+    """Transposed convolution, nn.ConvTranspose{2,3}d(in, out, k, stride) semantics.
+
+    Used for the U-Net up path (reference models/networks.py:500-503) where
+    k == stride == 2 (exact 2x upsampling, no overlap).
+    """
+
+    dim: int
+    in_c: int
+    out_c: int
+    k: int
+    stride: int
+    bias: bool = True
+
+    def init(self, key, init_type: str = "normal", gain: float = 0.02) -> Params:
+        kshape = (self.k,) * self.dim + (self.in_c, self.out_c)
+        p = {"w": init_weight(key, kshape, init_type, gain, transpose=True)}
+        if self.bias:
+            p["b"] = jnp.zeros((self.out_c,))
+        return p
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        y = jax.lax.conv_transpose(
+            x,
+            params["w"].astype(x.dtype),
+            strides=(self.stride,) * self.dim,
+            padding="VALID",
+            dimension_numbers=_dim_numbers(self.dim),
+        )
+        if self.bias:
+            y = y + params["b"].astype(y.dtype)
+        return y
+
+
+def max_pool(x: jnp.ndarray, window: int, dim: int) -> jnp.ndarray:
+    """nn.MaxPool{2,3}d(window) with stride == window (floor semantics)."""
+    dims = (1,) + (window,) * dim + (1,)
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max, dims, dims, "VALID",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalisation / activations
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class InstanceNorm:
+    """InstanceNorm with affine=False, track_running_stats=False (parameter-free).
+
+    Matches the reference's production norm layer exactly
+    (models/networks.py:33-34): per-sample, per-channel standardisation over
+    spatial dims with eps=1e-5 and biased variance.
+    """
+
+    dim: int
+    eps: float = 1e-5
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        axes = tuple(range(1, 1 + self.dim))
+        # fp32 statistics regardless of compute dtype for stability.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return y.astype(x.dtype)
+
+
+def relu(x):
+    return jax.nn.relu(x)
+
+
+def leaky_relu(x, slope: float = 0.2):
+    return jax.nn.leaky_relu(x, slope)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# Param-tree utilities
+# ---------------------------------------------------------------------------
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def flatten_params(params, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Nested dict -> flat { 'a.b.w': array } (checkpoint format)."""
+    out = {}
+    for k, v in params.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_params(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]):
+    root: dict = {}
+    for key, v in flat.items():
+        parts = key.split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return root
