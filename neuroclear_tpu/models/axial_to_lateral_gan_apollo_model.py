@@ -1,0 +1,233 @@
+"""Apollo — the production axial-to-lateral CycleGAN.
+
+Parity target: /root/reference/models/axial_to_lateral_gan_apollo_model.py.
+3D generators (G_A: unet_deconv, G_B: deep_linear_gen), four 2D
+discriminators; D_A compares a random real XY *slice* against random-depth
+*MIPs* of the fake volume from each axis; D_B compares slices of real vs
+reconstruction; forward-cycle L1 only.
+
+TPU-native: `optimize_parameters` is ONE fused jitted program — G forward,
+six G-side probes + grad + Adam, twelve D-side probes + grad + Adam — with
+all randomness from explicit PRNG splits (fresh per probe, like the
+reference's per-call np.random) and a traced MIP depth under
+--randomize_projection_depth (masked-max keeps shapes static).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .base_model import BaseModel
+from . import gan_common as gc
+from ..nn import factory
+from ..nn.losses import l1_loss
+
+LAT, AX1, AX2 = 0, 1, 2  # XY, XZ, YZ (apollo_model.py:86-88)
+
+
+class AxialToLateralGANApolloModel(BaseModel):
+    @staticmethod
+    def modify_commandline_options(parser, is_train=True):
+        parser.set_defaults(no_dropout=True)
+        if is_train:
+            parser.add_argument("--lambda_A", type=float, default=10.0,
+                                help="weight for cycle loss (A -> B -> A)")
+            parser.add_argument("--gan_mode", type=str, default="vanilla",
+                                help="the type of GAN objective. [vanilla| lsgan | wgangp].")
+            parser.add_argument("--lambda_plane", type=int, nargs="+", default=[1, 1, 1],
+                                help="weight ratio for matching (target vs. target) and "
+                                     "(target vs. source) and (MIP target vs. MIP source).")
+            parser.add_argument("--randomize_projection_depth", action="store_true",
+                                help="randomize the depth for MIP")
+            parser.add_argument("--projection_depth", type=int, default=10,
+                                help="depth for maximum intensity projections. ")
+            parser.add_argument("--min_projection_depth", type=int, default=2,
+                                help="minimum depth for maximum intensity projections. ")
+        parser.add_argument("--netG_B", type=str, default="deep_linear_gen",
+                            help="specify the generator in B->A path. ")
+        return parser
+
+    def __init__(self, opt):
+        BaseModel.__init__(self, opt)
+        self.loss_names = ["D_A_lateral", "D_A_axial", "G_A", "G_A_lateral",
+                           "G_A_axial", "cycle", "D_B_lateral", "D_B_axial",
+                           "G_B", "G_B_lateral", "G_B_axial"]
+        self.visual_names = ["real", "fake", "rec"]
+        if self.isTrain:
+            self.model_names = ["G_A", "G_B", "D_A_lateral", "D_A_axial",
+                                "D_B_lateral", "D_B_axial"]
+        else:
+            self.model_names = ["G_A", "G_B"]
+
+        gen_dim, dis_dim = 3, 2
+        self.nets["G_A"] = factory.define_G(opt.input_nc, opt.output_nc, opt.ngf,
+                                            opt.netG, opt.norm, dimension=gen_dim)
+        self.nets["G_B"] = factory.define_G(opt.output_nc, opt.input_nc, opt.ngf,
+                                            opt.netG_B, opt.norm, dimension=gen_dim)
+        if self.isTrain:
+            for d in ["D_A_lateral", "D_A_axial", "D_B_lateral", "D_B_axial"]:
+                nc = opt.output_nc if "A" in d.split("_")[1] else opt.input_nc
+                self.nets[d] = factory.define_D(nc, opt.ndf, opt.netD,
+                                                opt.n_layers_D, opt.norm,
+                                                dimension=dis_dim)
+        for name in self.model_names:
+            self.params[name] = self.nets[name].init(
+                self.next_rng(), opt.init_type, opt.init_gain)
+
+        if self.isTrain:
+            self.cfg = gc.GanStepConfig(
+                gan_mode=opt.gan_mode, lambda_A=opt.lambda_A,
+                lambda_plane=tuple(opt.lambda_plane),
+                randomize_projection_depth=opt.randomize_projection_depth,
+                projection_depth=opt.projection_depth,
+                min_projection_depth=opt.min_projection_depth,
+                beta1=opt.beta1)
+            self.base_lr = opt.lr
+            self.optim = gc.make_adam(opt.beta1)
+            self.opt_state = {
+                "G": self.optim.init({k: self.params[k] for k in ("G_A", "G_B")}),
+                "D": self.optim.init({k: self.params[k]
+                                      for k in self.model_names[2:]}),
+            }
+            self._step = make_apollo_step(self.nets, self.optim, self.cfg)
+        self._fwd = jax.jit(lambda pa, pb, x: _fwd_pair(self.nets, pa, pb, x))
+
+    # ------------------------------------------------------------------ API
+
+    def set_input(self, input):
+        AtoB = self.opt.direction == "AtoB"
+        real = input["A" if AtoB else "B"]
+        self.image_paths = input.get("A_paths" if AtoB else "B_paths", "")
+        self.real = _to_ndhwc(real)
+        self._visuals["real"] = self.real
+
+    def forward(self):
+        self.fake, self.rec = self._fwd(self.params["G_A"], self.params["G_B"],
+                                        self.real)
+        self._visuals["fake"] = self.fake
+        self._visuals["rec"] = self.rec
+
+    def optimize_parameters(self):
+        lr = jnp.float32(self.base_lr * self.lr_scale)
+        g_params = {k: self.params[k] for k in ("G_A", "G_B")}
+        d_params = {k: self.params[k] for k in self.model_names[2:]}
+        g_params, d_params, self.opt_state, losses, fake, rec = self._step(
+            g_params, d_params, self.opt_state, self.next_rng(), self.real, lr)
+        self.params.update(g_params)
+        self.params.update(d_params)
+        self._losses = losses
+        self._visuals.update({"fake": fake, "rec": rec})
+        self.fake, self.rec = fake, rec
+
+
+def _to_ndhwc(x):
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 6:  # (B, 1, z, y, x, 1) from batched host chain
+        x = x.reshape((-1,) + x.shape[2:])
+    if x.ndim == 4:  # (z, y, x, 1) or (B, z, y, x)
+        x = x[None] if x.shape[-1] == 1 else x[..., None]
+    if x.ndim == 3:
+        x = x[None, ..., None]
+    return x
+
+
+def _fwd_pair(nets, pa, pb, real):
+    fake = nets["G_A"].apply(pa, real)
+    rec = nets["G_B"].apply(pb, fake)
+    return fake, rec
+
+
+def make_apollo_step(nets, optim, cfg):
+    """Build the fused train step (jitted, params/opt-state donated)."""
+
+    d_keys = ["D_A_lateral", "D_A_axial", "D_B_lateral", "D_B_axial"]
+    lam_t, lam_s, _ = cfg.lambda_norm
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(g_params, d_params, opt_state, rng, real, lr):
+        k_depth, k_g, k_d = jax.random.split(rng, 3)
+        depth = gc.sample_projection_depth(k_depth, cfg)
+        kg = jax.random.split(k_g, 6)
+        kd = jax.random.split(k_d, 12)
+
+        d_apply = {k: (lambda k_: lambda x: nets[k_].apply(
+            jax.lax.stop_gradient(d_params[k_]), x))(k) for k in d_keys}
+
+        # ---- G step (backward_G parity, apollo_model.py:255-283) ----------
+        def g_loss_fn(gp):
+            fake = nets["G_A"].apply(gp["G_A"], real)
+            rec = nets["G_B"].apply(gp["G_B"], fake)
+
+            g_a_lat = gc.g_gan(gc.probe_proj(kg[0], fake, LAT, depth,
+                                             d_apply["D_A_lateral"]), cfg) * lam_t
+            g_a_ax = (gc.g_gan(gc.probe_proj(kg[1], fake, AX1, depth,
+                                             d_apply["D_A_axial"]), cfg) * lam_s
+                      + gc.g_gan(gc.probe_proj(kg[2], fake, AX2, depth,
+                                               d_apply["D_A_axial"]), cfg) * lam_s)
+            g_a = g_a_lat + g_a_ax * 0.5
+
+            g_b_lat = gc.g_gan(gc.probe_slice(kg[3], rec, LAT,
+                                              d_apply["D_B_lateral"]), cfg) * lam_t
+            g_b_ax = (gc.g_gan(gc.probe_slice(kg[4], rec, AX1,
+                                              d_apply["D_B_axial"]), cfg) * lam_s
+                      + gc.g_gan(gc.probe_slice(kg[5], rec, AX2,
+                                                d_apply["D_B_axial"]), cfg) * lam_s)
+            g_b = g_b_lat + g_b_ax * 0.5
+
+            cycle = l1_loss(rec, real) * cfg.lambda_A
+            total = g_a + g_b + cycle
+            aux = {"G_A": g_a, "G_A_lateral": g_a_lat, "G_A_axial": g_a_ax,
+                   "G_B": g_b, "G_B_lateral": g_b_lat, "G_B_axial": g_b_ax,
+                   "cycle": cycle, "fake": fake, "rec": rec}
+            return total, aux
+
+        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
+        g_updates, og = optim.update(g_grads, opt_state["G"])
+        g_params = gc.apply_updates(g_params, g_updates, lr)
+
+        # D step uses fake/rec from *before* the G update, like the reference
+        # (forward() precedes optimizer_G.step(); D re-probes detached copies).
+        fake = jax.lax.stop_gradient(g_aux.pop("fake"))
+        rec = jax.lax.stop_gradient(g_aux.pop("rec"))
+
+        # ---- D step (backward_D_* parity, apollo_model.py:198-253) --------
+        def d_loss_fn(dp):
+            def ap(k):
+                return lambda x: nets[k].apply(dp[k], x)
+
+            d_a_lat = gc.d_pair(
+                gc.probe_slice(kd[0], real, LAT, ap("D_A_lateral")),
+                gc.probe_proj(kd[1], fake, LAT, depth, ap("D_A_lateral")), cfg)
+            d_a_ax1 = gc.d_pair(
+                gc.probe_slice(kd[2], real, LAT, ap("D_A_axial")),
+                gc.probe_proj(kd[3], fake, AX1, depth, ap("D_A_axial")), cfg)
+            d_a_ax2 = gc.d_pair(
+                gc.probe_slice(kd[4], real, LAT, ap("D_A_axial")),
+                gc.probe_proj(kd[5], fake, AX2, depth, ap("D_A_axial")), cfg)
+            d_b_lat = gc.d_pair(
+                gc.probe_slice(kd[6], real, LAT, ap("D_B_lateral")),
+                gc.probe_slice(kd[7], rec, LAT, ap("D_B_lateral")), cfg)
+            d_b_ax1 = gc.d_pair(
+                gc.probe_slice(kd[8], real, AX1, ap("D_B_axial")),
+                gc.probe_slice(kd[9], rec, AX1, ap("D_B_axial")), cfg)
+            d_b_ax2 = gc.d_pair(
+                gc.probe_slice(kd[10], real, AX2, ap("D_B_axial")),
+                gc.probe_slice(kd[11], rec, AX2, ap("D_B_axial")), cfg)
+            total = d_a_lat + d_a_ax1 + d_a_ax2 + d_b_lat + d_b_ax1 + d_b_ax2
+            aux = {"D_A_lateral": d_a_lat,
+                   "D_A_axial": (d_a_ax1 + d_a_ax2) * 0.5,
+                   "D_B_lateral": d_b_lat,
+                   "D_B_axial": (d_b_ax1 + d_b_ax2) * 0.5}
+            return total, aux
+
+        (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
+        d_updates, od = optim.update(d_grads, opt_state["D"])
+        d_params = gc.apply_updates(d_params, d_updates, lr)
+
+        losses = {**g_aux, **d_aux}
+        return g_params, d_params, {"G": og, "D": od}, losses, fake, rec
+
+    return step

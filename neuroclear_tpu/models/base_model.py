@@ -1,0 +1,171 @@
+"""BaseModel — the model runtime contract (reference: models/base_model.py).
+
+Same public surface: setup / set_input / optimize_parameters / test / eval /
+get_current_visuals / get_current_losses / save_networks / load_networks /
+update_learning_rate / print_networks.  The imperative torch autograd of the
+reference is replaced by fused jitted train steps defined in subclasses.
+
+Checkpoint contract: one file per network,
+``<checkpoints_dir>/<name>/{suffix}_net_{NET}.npz`` (flat param tree), with
+suffixes 'latest' / '{epoch}' / 'iter_{N}' — mirroring the reference's
+``{suffix}_net_{name}.pth`` CLI contract (base_model.py:146-201).  Optimizer
+state additionally goes to ``{suffix}_optim.npz`` (the reference silently
+reset Adam moments on resume; we restore them when the file exists).
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+from collections import OrderedDict
+
+import jax
+import numpy as np
+
+from ..nn.core import count_params, flatten_params, unflatten_params
+from ..nn.schedulers import LRController
+
+
+class BaseModel(ABC):
+    def __init__(self, opt):
+        self.opt = opt
+        self.gpu_ids = getattr(opt, "gpu_ids", [])
+        self.isTrain = opt.isTrain
+        self.dimension = opt.image_dimension
+        self.save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+        self.loss_names = []
+        self.model_names = []
+        self.visual_names = []
+        self.image_paths = []
+        self.metric = 0  # for 'plateau' lr policy
+        self.lr_controllers = []
+        # params: {net_name: pytree}; nets: {net_name: module with .apply}
+        self.params = {}
+        self.nets = {}
+        # async loss scalars (device arrays); fetched lazily
+        self._losses = {}
+        self._visuals = {}
+        seed = getattr(opt, "seed", None)
+        if seed is None:
+            seed = int.from_bytes(os.urandom(4), "little")
+        self.rng = jax.random.PRNGKey(seed)
+
+    @staticmethod
+    def modify_commandline_options(parser, is_train):
+        return parser
+
+    @abstractmethod
+    def set_input(self, input):
+        ...
+
+    @abstractmethod
+    def forward(self):
+        ...
+
+    @abstractmethod
+    def optimize_parameters(self):
+        ...
+
+    def next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # ------------------------------------------------------------------ setup
+
+    def setup(self, opt):
+        if self.isTrain:
+            self.lr_controllers = [LRController(opt.lr_policy, opt)
+                                   for _ in range(2)]
+        if not self.isTrain or getattr(opt, "continue_train", False):
+            load_suffix = ("iter_%d" % opt.load_iter
+                           if opt.load_iter > 0 else opt.epoch)
+            self.load_networks(load_suffix)
+        self.print_networks(getattr(opt, "verbose", False))
+
+    def eval(self):
+        """No train/eval mode split: the zoo has no dropout in shipped
+        configs and instance norm is stateless (kept for API parity)."""
+
+    def test(self):
+        self.forward()
+        self.compute_visuals()
+
+    def compute_visuals(self):
+        pass
+
+    def get_image_paths(self):
+        return self.image_paths
+
+    def update_learning_rate(self):
+        for c in self.lr_controllers:
+            c.step(self.metric if self.opt.lr_policy == "plateau" else 0.0)
+
+    @property
+    def lr_scale(self) -> float:
+        return self.lr_controllers[0].scale if self.lr_controllers else 1.0
+
+    # ------------------------------------------------------------- accessors
+
+    def get_current_visuals(self):
+        out = OrderedDict()
+        for name in self.visual_names:
+            if name in self._visuals:
+                out[name] = self._visuals[name]
+        return out
+
+    def get_current_losses(self):
+        out = OrderedDict()
+        for name in self.loss_names:
+            if name in self._losses:
+                out[name] = float(self._losses[name])
+        return out
+
+    # ----------------------------------------------------------- checkpoints
+
+    def save_networks(self, epoch):
+        os.makedirs(self.save_dir, exist_ok=True)
+        for name in self.model_names:
+            path = os.path.join(self.save_dir, f"{epoch}_net_{name}.npz")
+            np.savez(path, **flatten_params(self.params[name]))
+        self._save_optim(epoch)
+
+    def _save_optim(self, epoch):
+        state = getattr(self, "opt_state", None)
+        if state is None:
+            return
+        flat, _ = jax.tree_util.tree_flatten(state)
+        np.savez(os.path.join(self.save_dir, f"{epoch}_optim.npz"),
+                 **{str(i): np.asarray(x) for i, x in enumerate(flat)})
+
+    def _load_optim(self, epoch):
+        path = os.path.join(self.save_dir, f"{epoch}_optim.npz")
+        state = getattr(self, "opt_state", None)
+        if state is None or not os.path.exists(path):
+            return
+        data = np.load(path)
+        flat, treedef = jax.tree_util.tree_flatten(state)
+        if len(data.files) != len(flat):
+            print(f"optimizer state at {path} does not match; skipping")
+            return
+        new_flat = [jax.numpy.asarray(data[str(i)]) for i in range(len(flat))]
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, new_flat)
+        print(f"restored optimizer state from {path}")
+
+    def load_networks(self, epoch):
+        for name in self.model_names:
+            path = os.path.join(self.save_dir, f"{epoch}_net_{name}.npz")
+            print(f"loading the model from {path}")
+            data = np.load(path)
+            self.params[name] = unflatten_params({k: data[k] for k in data.files})
+        if self.isTrain:
+            self._load_optim(epoch)
+
+    def print_networks(self, verbose):
+        print("---------- Networks initialized -------------")
+        for name in self.model_names:
+            n = count_params(self.params.get(name, {}))
+            if verbose and name in self.nets:
+                print(self.nets[name])
+            print("[Network %s] Total number of parameters : %.3f M"
+                  % (name, n / 1e6))
+        print("-----------------------------------------------")

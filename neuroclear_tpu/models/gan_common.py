@@ -1,0 +1,81 @@
+"""Shared machinery for the axial-to-lateral GAN models.
+
+The reference runs ten-plus small discriminator probes per iteration, each
+with fresh host randomness (SURVEY §3.4).  Here every probe is a jit-safe
+device op (ops/sampling.py) keyed by an explicit PRNG split, and the whole
+iteration — G forward, all probes, both Adam updates — is one compiled
+program built by each model's ``make_step``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..nn.losses import gan_loss
+from ..ops.sampling import all_slices, random_projection, random_slice
+
+
+def make_adam(beta1: float):
+    """torch.optim.Adam(lr, betas=(beta1, 0.999)) parity; lr is applied by
+    the caller so the schedule can change without rebuilding state."""
+    return optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8)
+
+
+def apply_updates(params, updates, lr):
+    return jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+
+
+def probe_slice(rng, vol, axis, d_apply):
+    """iter_f (Apollo/Dryops flavour): D on one random slice
+    (apollo_model.py:310-314)."""
+    return d_apply(random_slice(rng, vol, axis))
+
+
+def probe_proj(rng, vol, axis, depth, d_apply):
+    """proj_f: D on a random-window MIP (apollo_model.py:316-320)."""
+    return d_apply(random_projection(rng, vol, depth, axis))
+
+
+def probe_all_slices(vol, axis, d_apply):
+    """iter_f (Athena flavour): D on *every* slice, batched
+    (athena_model.py:286-296)."""
+    return d_apply(all_slices(vol, axis))
+
+
+def sample_projection_depth(rng, cfg):
+    """Per-iteration MIP depth (apollo_model.py:157-160)."""
+    if not cfg.randomize_projection_depth:
+        return cfg.projection_depth
+    return jax.random.randint(
+        rng, (), max(2, cfg.min_projection_depth), cfg.projection_depth + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class GanStepConfig:
+    gan_mode: str = "lsgan"
+    lambda_A: float = 10.0
+    lambda_plane: tuple = (1, 1, 1)
+    randomize_projection_depth: bool = False
+    projection_depth: int = 10
+    min_projection_depth: int = 2
+    beta1: float = 0.1
+
+    @property
+    def lambda_norm(self):
+        s = sum(self.lambda_plane)
+        return tuple(f / s for f in self.lambda_plane)
+
+
+def g_gan(pred, cfg):
+    return gan_loss(pred, True, cfg.gan_mode)
+
+
+def d_pair(pred_real, pred_fake, cfg):
+    """(GAN(real, True) + GAN(fake, False)) * 0.5 — backward_D_* parity."""
+    return (gan_loss(pred_real, True, cfg.gan_mode)
+            + gan_loss(pred_fake, False, cfg.gan_mode)) * 0.5

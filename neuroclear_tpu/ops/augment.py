@@ -1,0 +1,143 @@
+"""Fused on-device augmentation chain.
+
+The reference's production preprocess
+``random3Drotate_randomcrop_randomflip_addColorChannel_addBatchChannel``
+(README.md:128) runs per-slice cv2 rotation + inscribed-rect crop + random
+crop + /65535 + random flips on the *host*, per iteration — the CPU hot spot
+of train_onecube (SURVEY §3.1).
+
+Here the whole chain is one jitted gather program on the TPU:
+  * the source volume stays resident in HBM (uint16), uploaded once;
+  * rotate + inscribed-crop + random-crop collapse into a single bilinear
+    gather of exactly crop_size voxels (the rotation is in-plane XY, so one
+    2D coordinate map serves every Z slice);
+  * normalisation happens on the gathered values; flips are index flips.
+
+Output shapes are static (crop_size), so one compiled program serves every
+angle — no retrace churn.  Distributional parity with the host chain
+(data/base_dataset.py:87-131) is exact in geometry (same int truncations via
+ops/rotation.py) and bilinear up to cv2's fixed-point interpolation rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .rotation import rotation_geometry
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("crop_size", "inv_scale", "do_rotate", "do_rot90", "do_flip"),
+)
+def fused_augment(
+    rng: jax.Array,
+    vol: jnp.ndarray,
+    crop_size: Tuple[int, int, int],
+    inv_scale: float,
+    do_rotate: bool = True,
+    do_rot90: bool = False,
+    do_flip: bool = True,
+) -> jnp.ndarray:
+    """Sample one augmented crop from a (Z, Y, X) volume -> (cz, cy, cx) f32.
+
+    RNG draws mirror the host chain call-for-call: angle ~ U{0..359}
+    (base_dataset.py:454), crop offsets ~ U[0, extent-crop] inclusive
+    (:195-197), flips: each axis w.p. 1/2 (:279-289, whose shuffled-pop
+    scheme is distribution-equal to independent per-axis coin flips).
+    """
+    cz, cy, cx = crop_size
+    Z, Y, X = vol.shape
+    k_angle, k_z, k_y, k_x, k_f = jax.random.split(rng, 5)
+
+    if do_rotate:
+        angle = jax.random.randint(k_angle, (), 0, 360).astype(jnp.float32)
+        rotate = True
+    elif do_rot90:
+        k = jax.random.randint(k_angle, (), 0, 6)
+        angle = jnp.asarray([-90.0, 90.0, -180.0, 180.0, -270.0, 270.0])[k]
+        rotate = True
+    else:
+        angle = jnp.float32(0.0)
+        rotate = False
+
+    if rotate:
+        geom = rotation_geometry(jnp.float32(X), jnp.float32(Y), angle, xp=jnp)
+        crop_h, crop_w = geom.crop_h, geom.crop_w
+    else:
+        crop_h, crop_w = jnp.int32(Y), jnp.int32(X)
+
+    # random crop offsets (inclusive upper bound, as python random.randint)
+    z0 = jax.random.randint(k_z, (), 0, Z - cz + 1)
+    y0 = jax.random.randint(k_y, (), 0, crop_h - cy + 1)
+    x0 = jax.random.randint(k_x, (), 0, crop_w - cx + 1)
+
+    out = sample_rotated_crop(vol, angle, (z0, y0, x0), crop_size, inv_scale,
+                              rotate=rotate)
+    if do_flip:
+        flips = jax.random.uniform(k_f, (3,)) < 0.5
+        out = jnp.where(flips[0], out[::-1, :, :], out)
+        out = jnp.where(flips[1], out[:, ::-1, :], out)
+        out = jnp.where(flips[2], out[:, :, ::-1], out)
+    return out
+
+
+def sample_rotated_crop(vol, angle, offsets, crop_size, inv_scale, rotate=True):
+    """Deterministic core: gather a crop of the rotated-and-inscribed-cropped
+    volume at integer offsets (z0, y0, x0).  Equivalent to
+    rotate_clean_3d_xy(vol, angle)[z0:z0+cz, y0:.., x0:..] * inv_scale."""
+    cz, cy, cx = crop_size
+    Z, Y, X = vol.shape
+
+    if rotate:
+        geom = rotation_geometry(jnp.float32(X), jnp.float32(Y),
+                                 jnp.asarray(angle, jnp.float32), xp=jnp)
+        x1, y1 = geom.x1, geom.y1
+        inv = geom.inv
+    else:
+        x1 = y1 = jnp.int32(0)
+        inv = (jnp.float32(1), jnp.float32(0), jnp.float32(0),
+               jnp.float32(0), jnp.float32(1), jnp.float32(0))
+
+    z0, y0, x0 = offsets
+    # canvas coords of the output crop
+    py = (y1 + y0 + jnp.arange(cy)).astype(jnp.float32)[:, None]  # (cy, 1)
+    px = (x1 + x0 + jnp.arange(cx)).astype(jnp.float32)[None, :]  # (1, cx)
+    i00, i01, i02, i10, i11, i12 = inv
+    sx = i00 * px + i01 * py + i02  # (cy, cx)
+    sy = i10 * px + i11 * py + i12
+
+    xf = jnp.floor(sx)
+    yf = jnp.floor(sy)
+    wx = (sx - xf)[None, :, :]
+    wy = (sy - yf)[None, :, :]
+    x0i = jnp.clip(xf.astype(jnp.int32), 0, X - 1)
+    x1i = jnp.clip(x0i + 1, 0, X - 1)
+    y0i = jnp.clip(yf.astype(jnp.int32), 0, Y - 1)
+    y1i = jnp.clip(y0i + 1, 0, Y - 1)
+
+    zvol = jax.lax.dynamic_slice(vol, (z0, 0, 0), (cz, Y, X))
+    v00 = zvol[:, y0i, x0i].astype(jnp.float32)
+    v01 = zvol[:, y0i, x1i].astype(jnp.float32)
+    v10 = zvol[:, y1i, x0i].astype(jnp.float32)
+    v11 = zvol[:, y1i, x1i].astype(jnp.float32)
+    out = ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
+           + (v10 * (1 - wx) + v11 * wx) * wy)
+    return out * inv_scale
+
+
+def dtype_inv_scale(dtype) -> float:
+    """__normalize parity (base_dataset.py:134-143): uint8 -> /255,
+    uint16 -> /65535; floats pass through (the reference NameErrors on
+    float inputs — documented fix)."""
+    import numpy as np
+
+    if dtype == np.uint8:
+        return 1.0 / (2 ** 8 - 1.0)
+    if dtype == np.uint16:
+        return 1.0 / (2 ** 16 - 1.0)
+    return 1.0

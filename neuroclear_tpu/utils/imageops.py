@@ -1,0 +1,155 @@
+"""Host-side image helpers: dtype conversion, normalisation, histogram ops,
+metrics.  Parity targets: util/util.py (tensor2im, normalize, standardize,
+noisy, get_psnr/get_snr/get_mse, pad/crop_for_dicing) and the skimage calls
+used by Assemble_Dice (match_histograms, rescale_intensity) — skimage is not
+in this image, so those are implemented here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+# --- dtype conversion (util/util.py:11-39) ---------------------------------
+
+
+def tensor2im(x, imtype=np.uint16) -> np.ndarray:
+    """Array in [0,1] -> clipped integer image (jax/np arrays accepted)."""
+    img = np.asarray(x, dtype=np.float32)
+    if imtype == np.uint8:
+        img = np.clip(img, 0, 1) * (2 ** 8 - 1.0)
+        img = np.clip(img, 0, 255)
+    elif imtype == np.uint16:
+        img = np.clip(img, 0, 1) * (2 ** 16 - 1.0)
+        img = np.clip(img, 0, 2 ** 16 - 1)
+    return img.astype(imtype)
+
+
+def normalize(img: np.ndarray, data_type=float) -> np.ndarray:
+    """Min-max rescale to the full range of data_type (util/util.py:57-72)."""
+    lo, hi = np.min(img), np.max(img)
+    if data_type == np.uint8:
+        new_max = 2 ** 8 - 1
+    elif data_type == np.uint16:
+        new_max = 2 ** 16 - 1
+    else:
+        new_max = 1
+    out = (img - lo) * (new_max / (hi - lo))
+    return out.astype(data_type)
+
+
+def standardize(img: np.ndarray) -> np.ndarray:
+    return (img - np.mean(img)) / np.std(img)
+
+
+def noisy(noise_typ: str, image: np.ndarray, sigma=0.1, peak=0.1,
+          is_normalize=True, rng: np.random.Generator | None = None) -> np.ndarray:
+    """Gaussian / Poisson noise injection (util/util.py:74-99)."""
+    rng = rng or np.random.default_rng()
+    if noise_typ == "gauss":
+        out = image + rng.normal(0.0, sigma, image.shape)
+    elif noise_typ == "poisson":
+        out = rng.poisson(image * peak) / float(peak)
+    else:
+        raise ValueError(noise_typ)
+    if is_normalize:
+        out = normalize(out)
+    return out
+
+
+# --- metrics (util/util.py:101-119) -----------------------------------------
+
+
+def get_mse(source, target):
+    return np.mean((np.asarray(target, float) - np.asarray(source, float)) ** 2)
+
+
+def get_snr(img_original, img_noised):
+    mse = np.mean((img_original - img_noised) ** 2)
+    ps = np.mean(np.asarray(img_original, float) ** 2)
+    return 10 * math.log10(ps / mse)
+
+
+def get_psnr(source, target, data_range):
+    mse = get_mse(source, target)
+    return 20 * math.log10(data_range) - 10 * math.log10(mse)
+
+
+def get_ssim(a, b, data_range, win: int = 7):
+    """Global-window SSIM over a volume (scaffolding parity with the unused
+    skimage call in util/visualizer.py:59-83; mean-of-local-windows variant).
+    Uses a uniform filter implemented with cumulative sums (no scipy needed
+    in the hot path)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    def box(x):
+        for ax in range(x.ndim):
+            c = np.cumsum(x, axis=ax)
+            lead = np.take(c, range(win - 1, x.shape[ax]), axis=ax)
+            lag = np.concatenate(
+                [np.zeros_like(np.take(c, [0], axis=ax)),
+                 np.take(c, range(0, x.shape[ax] - win), axis=ax)], axis=ax)
+            x = (lead - lag) / win
+        return x
+
+    mu_a, mu_b = box(a), box(b)
+    saa = box(a * a) - mu_a ** 2
+    sbb = box(b * b) - mu_b ** 2
+    sab = box(a * b) - mu_a * mu_b
+    ssim_map = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (saa + sbb + c2))
+    return float(np.mean(ssim_map))
+
+
+# --- histogram ops (skimage.exposure equivalents) ---------------------------
+
+
+def rescale_intensity(img: np.ndarray, in_range: tuple) -> np.ndarray:
+    """skimage.exposure.rescale_intensity(float image, in_range=(lo,hi)) ->
+    clip + scale to [0,1] (used by Assemble_Dice --normalize_intensity,
+    util/assemble_dice.py:190-192)."""
+    lo, hi = in_range
+    img = np.clip(img, lo, hi)
+    return (img - lo) / max(hi - lo, np.finfo(np.float32).tiny)
+
+
+def match_histograms(image: np.ndarray, reference: np.ndarray) -> np.ndarray:
+    """skimage.exposure.match_histograms for single-channel arrays: map the
+    image's empirical CDF onto the reference's (Assemble_Dice
+    --histogram_match, util/assemble_dice.py:150-151)."""
+    src = image.ravel()
+    ref = reference.ravel()
+    src_vals, src_inv, src_cnt = np.unique(src, return_inverse=True, return_counts=True)
+    ref_vals, ref_cnt = np.unique(ref, return_counts=True)
+    src_q = np.cumsum(src_cnt) / src.size
+    ref_q = np.cumsum(ref_cnt) / ref.size
+    mapped = np.interp(src_q, ref_q, ref_vals)
+    return mapped[src_inv].reshape(image.shape).astype(image.dtype, copy=False)
+
+
+# --- dicing pads (util/util.py:196-237) -------------------------------------
+
+
+def pad_for_dicing(image: np.ndarray, roi_size: int, overlap: int = 0) -> np.ndarray:
+    """End-pad (zeros) so stride (roi-overlap) tiles the volume exactly."""
+    step = roi_size - overlap
+    pads = []
+    for dim in image.shape[::-1]:
+        counts = (dim + overlap) // step
+        pads.append(step * counts + roi_size - dim)
+    z_pad, y_pad, x_pad = pads[2], pads[1], pads[0]
+    return np.pad(image, ((0, z_pad), (0, y_pad), (0, x_pad)))
+
+
+def crop_for_dicing(image: np.ndarray, roi_size: int, overlap: int = 0) -> np.ndarray:
+    step = roi_size - overlap
+    crops = []
+    for dim in image.shape:
+        counts = (dim - overlap) // step
+        crops.append(dim - step * counts - overlap)
+    return image[crops[0]:, crops[1]:, crops[2]:]
