@@ -182,20 +182,19 @@ class InstanceNorm:
 
     Matches the reference's production norm layer exactly
     (models/networks.py:33-34): per-sample, per-channel standardisation over
-    spatial dims with eps=1e-5 and biased variance.
+    spatial dims with eps=1e-5 and biased variance.  On TPU this dispatches
+    to the fused Pallas kernel (ops/pallas_ops.py) — the naive XLA lowering
+    was ~70% of U-Net forward time.
     """
 
     dim: int
     eps: float = 1e-5
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        axes = tuple(range(1, 1 + self.dim))
-        # fp32 statistics regardless of compute dtype for stability.
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        return y.astype(x.dtype)
+        from ..ops.pallas_ops import instance_norm
+
+        assert x.ndim == self.dim + 2, (x.shape, self.dim)
+        return instance_norm(x)
 
 
 def relu(x):

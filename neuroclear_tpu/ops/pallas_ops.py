@@ -1,0 +1,223 @@
+"""Pallas TPU kernels for the hot memory-bound ops.
+
+Instance norm is the #1 non-conv cost of the production U-Net: the naive XLA
+lowering materialises float32 copies of full-resolution activations (700 MB
+at 140^3 x 64ch) several times per layer (~70% of forward time measured on
+v5e).  The fused kernels below do minimum HBM traffic — one masked read pass
+for statistics, one read+write pass for the normalisation — with float32
+accumulation in VMEM, for both forward and backward (custom VJP).
+
+Backward math for y = (x - mu) * rstd (biased var, affine-free):
+    dx = rstd * (g - mean(g) - y * mean(g * y))
+
+Fallback: on non-TPU backends (CPU tests) a jnp formulation with identical
+numerics is used; the custom VJP wraps both.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_EPS = 1e-5
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _use_pallas(rows: int, c: int) -> bool:
+    return _HAS_PALLAS and _on_tpu() and rows >= 512 and c % 8 == 0
+
+
+def _chunk_rows(rows: int, c: int, itemsize: int) -> int:
+    s = max(512, (1 << 19) // max(c * itemsize, 1))  # ~512KB blocks
+    s = min(s, rows)
+    return max(8, (s // 8) * 8)
+
+
+# ---------------------------------------------------------------------------
+# building blocks: masked pair reduction + elementwise map over (N, R, C)
+# ---------------------------------------------------------------------------
+
+
+def _pair_sums(a3, b3=None):
+    """per-(n, c) [sum(a), sum(a*b)] in f32; b3=None means b == a (one read).
+    a3/b3: (N, R, C)."""
+    n, rows, c = a3.shape
+    if not _use_pallas(rows, c):
+        bf = a3 if b3 is None else b3
+        sa = jnp.sum(a3, axis=1, dtype=jnp.float32)
+        sab = jnp.sum(a3.astype(jnp.float32) * bf.astype(jnp.float32), axis=1)
+        return sa, sab
+
+    square = b3 is None
+    s_chunk = _chunk_rows(rows, c, a3.dtype.itemsize * (1 if square else 2))
+    n_chunks = pl.cdiv(rows, s_chunk)
+
+    def kernel(*refs):
+        a_ref, out_ref = refs[0], refs[-1]
+        i = pl.program_id(1)
+        a = a_ref[0].astype(jnp.float32)
+        b = a if square else refs[1][0].astype(jnp.float32)
+        rid = jax.lax.broadcasted_iota(jnp.int32, (s_chunk, 1), 0) + i * s_chunk
+        mask = rid < rows
+        am = jnp.where(mask, a, 0.0)
+        bm = am if square else jnp.where(mask, b, 0.0)
+        out_ref[0, 0, 0, :] = jnp.sum(am, axis=0)
+        out_ref[0, 0, 1, :] = jnp.sum(am * bm, axis=0)
+
+    block = pl.BlockSpec((1, s_chunk, c), lambda ni, i: (ni, i, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [block] if square else [block, block]
+    args = (a3,) if square else (a3, b3)
+    partials = pl.pallas_call(
+        kernel,
+        grid=(n, n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, 2, c), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n_chunks, 2, c), jnp.float32),
+    )(*args)
+    sums = jnp.sum(partials, axis=1)
+    return sums[:, 0], sums[:, 1]
+
+
+def _affine_map(x3, scale, shift):
+    """y = x * scale + shift with per-(n, c) f32 coefficients."""
+    n, rows, c = x3.shape
+    if not _use_pallas(rows, c):
+        y = x3.astype(jnp.float32) * scale[:, None, :] + shift[:, None, :]
+        return y.astype(x3.dtype)
+
+    s_chunk = _chunk_rows(rows, c, 2 * x3.dtype.itemsize)
+    n_chunks = pl.cdiv(rows, s_chunk)
+    coef = jnp.stack([scale, shift], axis=1)  # (n, 2, c)
+
+    def kernel(x_ref, co_ref, o_ref):
+        x = x_ref[0].astype(jnp.float32)
+        sc = co_ref[0, 0, :]
+        sh = co_ref[0, 1, :]
+        o_ref[0] = (x * sc + sh).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, s_chunk, c), lambda ni, i: (ni, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda ni, i: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_chunk, c), lambda ni, i: (ni, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, rows, c), x3.dtype),
+    )(x3, coef)
+
+
+def _bwd_map(g3, y3, rstd, mg, mgy):
+    """dx = rstd * (g - mg - y * mgy), per-(n, c) f32 coefficients."""
+    n, rows, c = g3.shape
+    if not _use_pallas(rows, c):
+        dx = rstd[:, None, :] * (g3.astype(jnp.float32) - mg[:, None, :]
+                                 - y3.astype(jnp.float32) * mgy[:, None, :])
+        return dx.astype(g3.dtype)
+
+    s_chunk = _chunk_rows(rows, c, 3 * g3.dtype.itemsize)
+    n_chunks = pl.cdiv(rows, s_chunk)
+    coef = jnp.stack([rstd, mg, mgy], axis=1)  # (n, 3, c)
+
+    def kernel(g_ref, y_ref, co_ref, o_ref):
+        g = g_ref[0].astype(jnp.float32)
+        y = y_ref[0].astype(jnp.float32)
+        rs = co_ref[0, 0, :]
+        mgc = co_ref[0, 1, :]
+        mgyc = co_ref[0, 2, :]
+        o_ref[0] = (rs * (g - mgc - y * mgyc)).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, s_chunk, c), lambda ni, i: (ni, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_chunk, c), lambda ni, i: (ni, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, c), lambda ni, i: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_chunk, c), lambda ni, i: (ni, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, rows, c), g3.dtype),
+    )(g3, y3, coef)
+
+
+# ---------------------------------------------------------------------------
+# public op: instance norm with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def instance_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """InstanceNorm(affine=False, eps=1e-5) over all spatial dims of a
+    channels-last tensor (N, *spatial, C)."""
+    y, _ = _inorm_fwd_impl(x)
+    return y
+
+
+def _inorm_fwd_impl(x):
+    shape = x.shape
+    n, c = shape[0], shape[-1]
+    rows = int(np.prod(shape[1:-1]))
+    x3 = x.reshape(n, rows, c)
+    s, ss = _pair_sums(x3, x3)
+    mean = s / rows
+    var = jnp.maximum(ss / rows - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    y3 = _affine_map(x3, rstd, -mean * rstd)
+    return y3.reshape(shape), (y3, rstd)
+
+
+def _inorm_fwd(x):
+    y, (y3, rstd) = _inorm_fwd_impl(x)
+    return y, (y3, rstd, x.shape)
+
+
+def _inorm_bwd(res, g):
+    y3, rstd, shape = res
+    n, rows, c = y3.shape
+    g3 = g.reshape(n, rows, c)
+    sg, sgy = _pair_sums(g3, y3)
+    mg = sg / rows
+    mgy = sgy / rows
+    dx3 = _bwd_map(g3, y3, rstd, mg, mgy)
+    return (dx3.reshape(shape),)
+
+
+instance_norm.defvjp(_inorm_fwd, _inorm_bwd)
+
+
+def instance_norm_act(x: jnp.ndarray, act: str | None = None,
+                      negative_slope: float = 0.2) -> jnp.ndarray:
+    """instance_norm followed by an activation (the activation stays in XLA so
+    its trivial fusion + backward mask work as usual)."""
+    y = instance_norm(x)
+    if act == "relu":
+        return jax.nn.relu(y)
+    if act == "leaky":
+        return jax.nn.leaky_relu(y, negative_slope)
+    return y

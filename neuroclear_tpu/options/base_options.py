@@ -1,0 +1,185 @@
+"""CLI options — flag-compatible with the reference
+(/root/reference/options/base_options.py), including the two-pass parse with
+dynamic flag injection from the chosen model and dataset classes
+(base_options.py:75-101)."""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+
+class BaseOptions:
+    def __init__(self):
+        self.initialized = False
+        self.time = datetime.datetime.now().strftime("%Y%m%d-%H%M")
+
+    def initialize(self, parser):
+        # basic parameters
+        parser.add_argument("--dataroot",
+                            help="path to images (should have subfolders trainA, trainB, valA, valB, etc)")
+        parser.add_argument("--name", type=str, default="experiment_name",
+                            help="name of the experiment. It decides where to store samples and models")
+        parser.add_argument("--gpu_ids", type=str, default="0",
+                            help="device ids (kept for CLI parity; device placement is "
+                                 "managed by JAX). use -1 for CPU")
+        parser.add_argument("--checkpoints_dir", type=str, default="./checkpoints",
+                            help="models are saved here")
+        parser.add_argument("--add_date", action="store_true",
+                            help="Add the run date to the name. ")
+        parser.add_argument("--image_dimension", default=3, type=int,
+                            help="dimension of the image: e.g. 3D or 2D")
+        parser.add_argument("--server", type=str, default="not-specified",
+                            help="specify which server you ran the script on.")
+        # model parameters
+        parser.add_argument("--model", type=str, default="cycle_gan",
+                            help="chooses which model to use. [axial_to_lateral_gan_apollo | "
+                                 "axial_to_lateral_gan_athena | axial_to_lateral_gan_dryops | test]")
+        parser.add_argument("--input_nc", type=int, default=1,
+                            help="# of input image channels: 3 for RGB and 1 for grayscale")
+        parser.add_argument("--output_nc", type=int, default=1,
+                            help="# of output image channels: 3 for RGB and 1 for grayscale")
+        parser.add_argument("--ngf", type=int, default=64,
+                            help="# of gen filters in the last conv layer")
+        parser.add_argument("--ndf", type=int, default=64,
+                            help="# of discrim filters in the first conv layer")
+        parser.add_argument("--netD", type=str, default="basic",
+                            help="specify discriminator architecture [basic | n_layers | pixel]. ")
+        parser.add_argument("--netG", type=str, default="unet_deconv",
+                            help="specify generator architecture")
+        parser.add_argument("--n_layers_D", type=int, default=3,
+                            help="only used if netD==n_layers")
+        parser.add_argument("--norm", type=str, default="instance",
+                            help="instance normalization or batch normalization "
+                                 "[instance | batch | spectral | none]")
+        parser.add_argument("--init_type", type=str, default="normal",
+                            help="network initialization [normal | xavier | kaiming | orthogonal]")
+        parser.add_argument("--init_gain", type=float, default=0.02,
+                            help="scaling factor for normal, xavier and orthogonal.")
+        parser.add_argument("--no_dropout", action="store_true",
+                            help="no dropout for the generator.")
+        # dataset parameters
+        parser.add_argument("--dataset_mode", type=str, default="braincube",
+                            help="chooses how datasets are loaded. [singlevolume | cube | "
+                                 "diceImage | simulationcrop]")
+        parser.add_argument("--direction", type=str, default="AtoB", help="AtoB or BtoA")
+        parser.add_argument("--serial_batches", action="store_true",
+                            help="if true, takes images in order to make batches, "
+                                 "otherwise takes them randomly")
+        parser.add_argument("--num_threads", default=8, type=int,
+                            help="# threads for loading data")
+        parser.add_argument("--no_pin_memory", action="store_true",
+                            help="do not pin memory in dataloader")
+        parser.add_argument("--batch_size", type=int, default=1, help="input batch size")
+        parser.add_argument("--load_size", type=int, default=286,
+                            help="scale images to this size")
+        parser.add_argument("--crop_size", type=int, nargs="+", default=[0, 0, 0],
+                            help="crop to this size. e.g. y x z")
+        parser.add_argument("--dice_size", type=int, nargs="+", default=[0, 0, 0],
+                            help="dice to this size (for inference). e.g. y x z")
+        parser.add_argument("--max_dataset_size", type=int, default=float("inf"),
+                            help="Maximum number of samples allowed per dataset.")
+        parser.add_argument("--preprocess", type=str, default="none",
+                            help="[randomcrop | randomrotate | randomflip | normalize | none]")
+        parser.add_argument("--display_winsize", type=int, default=256,
+                            help="display window size for both visdom and HTML")
+        parser.add_argument("--display_histogram", action="store_true",
+                            help="display histograms of images in tensorboard.")
+        # additional parameters
+        parser.add_argument("--epoch", type=str, default="latest",
+                            help="which epoch to load? set to latest to use latest cached model")
+        parser.add_argument("--load_iter", type=int, default=0,
+                            help="which iteration to load? if load_iter > 0, the code will "
+                                 "load models by iter_[load_iter]; otherwise by [epoch]")
+        parser.add_argument("--verbose", action="store_true",
+                            help="if specified, print more debugging information")
+        parser.add_argument("--suffix", default="", type=str,
+                            help="customized suffix: opt.name = opt.name + suffix")
+        parser.add_argument("--debug", action="store_true",
+                            help="start a jax.profiler server for remote debugging "
+                                 "(replaces the reference's pydevd hook)")
+        # TPU-native extensions
+        parser.add_argument("--seed", type=int, default=None,
+                            help="PRNG seed (random if omitted)")
+        parser.add_argument("--host_augment", action="store_true",
+                            help="force the host (cv2) augmentation chain instead of the "
+                                 "fused on-device chain")
+        parser.add_argument("--precision", type=str, default="float32",
+                            choices=["float32", "bfloat16"],
+                            help="compute precision for conv layers")
+        parser.add_argument("--profile_dir", type=str, default=None,
+                            help="write a jax profiler trace of the hot loop here")
+        self.initialized = True
+        return parser
+
+    def gather_options(self, args=None):
+        from .. import data, models
+
+        if not self.initialized:
+            parser = argparse.ArgumentParser(
+                formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+            parser = self.initialize(parser)
+
+        opt, _ = parser.parse_known_args(args)
+
+        model_option_setter = models.get_option_setter(opt.model)
+        parser = model_option_setter(parser, self.isTrain)
+        opt, _ = parser.parse_known_args(args)
+
+        dataset_option_setter = data.get_option_setter(opt.dataset_mode)
+        parser = dataset_option_setter(parser, self.isTrain)
+
+        self.parser = parser
+        return parser.parse_args(args)
+
+    def print_options(self, opt):
+        message = ""
+        message += "----------------- Options ---------------\n"
+        for k, v in sorted(vars(opt).items()):
+            comment = ""
+            default = self.parser.get_default(k)
+            if v != default:
+                comment = "\t[default: %s]" % str(default)
+            message += "{:>25}: {:<30}{}\n".format(str(k), str(v), comment)
+        message += "----------------- End -------------------"
+        print(message)
+
+        if self.isTrain:
+            expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+        else:
+            if getattr(opt, "data_name", None) is not None:
+                expr_dir = os.path.join(opt.results_dir, opt.data_name + "_by_" + opt.name)
+            else:
+                expr_dir = os.path.join(opt.results_dir, opt.name)
+        os.makedirs(expr_dir, exist_ok=True)
+        file_name = os.path.join(expr_dir, f"{opt.phase}_opt.txt")
+        with open(file_name, "wt") as opt_file:
+            opt_file.write(message)
+            opt_file.write("\n")
+
+    def parse(self, args=None):
+        opt = self.gather_options(args)
+        opt.isTrain = self.isTrain
+
+        if opt.add_date and (not opt.continue_train if self.isTrain else True):
+            opt.name = self.time + "_" + opt.name
+        if opt.suffix:
+            suffix = ("_" + opt.suffix.format(**vars(opt))) if opt.suffix != "" else ""
+            opt.name = opt.name + suffix
+
+        self.print_options(opt)
+
+        # gpu_ids kept for parity; JAX owns device placement
+        str_ids = opt.gpu_ids.split(",")
+        opt.gpu_ids = [int(s) for s in str_ids if int(s) >= 0]
+
+        if opt.debug:
+            import jax
+
+            port = 9999
+            jax.profiler.start_server(port)
+            print(f"jax profiler server listening on :{port}")
+
+        self.opt = opt
+        return self.opt

@@ -1,0 +1,163 @@
+"""Fast overlap-tile ("dice") inference engine — the TPU-native replacement
+for the reference's sequential per-cube loop (test_dice.py:107-113 +
+util/assemble_dice.py), per BASELINE config 5.
+
+Design:
+  * The raw (uint16) volume is padded for dicing, reflect-padded by
+    border_cut, and uploaded to HBM ONCE.
+  * A single jitted lax.scan streams tile batches: gather (dynamic_slice) ->
+    normalize -> G forward -> border trim -> accumulate into an f32 output
+    volume resident in HBM.  Two D2H transfers total (result + nothing else).
+  * Overlap blending divides by the coverage count, which for an axis-aligned
+    tile grid is a separable outer product of 1D counts — no mask volume.
+    (The reference's cube/8 ... x8 guard is an exact f32 identity and is
+    therefore elided.)
+  * Optional flip-TTA (--repetition): each tile also runs flipped along each
+    axis; outputs are unflipped and averaged (assemble_dice.py:79-128).
+  * Multi-chip: tiles round-robin across a Mesh('data') via shard_map, each
+    device accumulating locally, one psum at the end (ICI).
+
+The x->y->z linear tile order contract (diceImage_dataset.py:99-106 ==
+assemble_dice.py:60-77) is preserved via data.dicing.DiceGrid; since
+accumulation is a sum, order does not affect the result.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dicing import DiceGrid
+
+
+class DiceInferencePipeline:
+    def __init__(self, g_apply: Callable, params, grid: DiceGrid, inv_scale: float,
+                 tile_batch: int = 4, repetition: bool = False,
+                 n_devices: int = 1):
+        self.g_apply = g_apply
+        self.params = params
+        self.grid = grid
+        self.inv_scale = float(inv_scale)
+        self.tile_batch = int(tile_batch)
+        self.repetition = repetition
+        self.n_devices = n_devices
+
+    def run(self, vol_padded: np.ndarray) -> np.ndarray:
+        """vol_padded: dicing-padded (z, y, x) raw volume (NOT border-padded).
+        Returns the assembled float32 volume in [0,1], padded size."""
+        g = self.grid
+        b = g.border_cut
+        roi = g.roi_size
+        ext = roi + 2 * b
+
+        vol = jnp.asarray(vol_padded)
+        if b > 0:
+            vol = jnp.pad(vol, ((b, b), (b, b), (b, b)), mode="reflect")
+
+        offsets = g.all_offsets()  # (N, 3) in dicing order
+        n_tiles = len(offsets)
+        B = self.tile_batch
+        n_pad = (-n_tiles) % (B * self.n_devices)
+        valid = np.concatenate([np.ones(n_tiles, np.float32),
+                                np.zeros(n_pad, np.float32)])
+        offs = np.concatenate([offsets, np.repeat(offsets[-1:], n_pad, 0)])
+
+        acc = self._scan(vol, jnp.asarray(offs), jnp.asarray(valid),
+                         vol_padded.shape, ext, roi, b, B)
+
+        # separable coverage normalisation
+        cz = 1.0 / g.coverage_1d(g.z_steps)
+        cy = 1.0 / g.coverage_1d(g.y_steps)
+        cx = 1.0 / g.coverage_1d(g.x_steps)
+        acc = acc * jnp.asarray(cz)[:, None, None]
+        acc = acc * jnp.asarray(cy)[None, :, None]
+        acc = acc * jnp.asarray(cx)[None, None, :]
+        return np.asarray(acc)
+
+    # ------------------------------------------------------------------
+
+    def _scan(self, vol, offs, valid, out_shape, ext, roi, b, B):
+        if self.n_devices > 1:
+            return self._scan_sharded(vol, offs, valid, out_shape, ext, roi, b, B)
+        return _dice_scan(self.g_apply, self.params, vol, offs, valid,
+                          out_shape, ext, roi, b, B, self.inv_scale,
+                          self.repetition)
+
+    def _scan_sharded(self, vol, offs, valid, out_shape, ext, roi, b, B):
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from .mesh import get_mesh
+
+        mesh = get_mesh(self.n_devices)
+        nd = self.n_devices
+        # round-robin tiles across devices: (N,3) -> (nd, N/nd, 3)
+        offs_d = offs.reshape(-1, nd, 3).transpose(1, 0, 2)
+        valid_d = valid.reshape(-1, nd).T
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=P(),
+        )
+        def run(vol_, offs_, valid_):
+            acc0 = jnp.zeros(out_shape, jnp.float32)
+            acc0 = jax.lax.pcast(acc0, ("data",), to="varying")
+            local = _dice_scan(self.g_apply, self.params, vol_, offs_[0],
+                               valid_[0], out_shape, ext, roi, b, B,
+                               self.inv_scale, self.repetition, acc0=acc0)
+            return jax.lax.psum(local, "data")
+
+        return jax.jit(run)(vol, offs_d, valid_d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g_apply", "out_shape", "ext", "roi", "b", "B",
+                     "inv_scale", "repetition"),
+)
+def _dice_scan(g_apply, params, vol, offs, valid, out_shape, ext, roi, b, B,
+               inv_scale, repetition, acc0=None):
+    n_batches = offs.shape[0] // B
+    offs = offs.reshape(n_batches, B, 3)
+    valid = valid.reshape(n_batches, B)
+
+    def gather_tile(off):
+        return jax.lax.dynamic_slice(vol, (off[0], off[1], off[2]),
+                                     (ext, ext, ext))
+
+    def body(acc, inp):
+        off_b, valid_b = inp
+        tiles = jax.vmap(gather_tile)(off_b).astype(jnp.float32) * inv_scale
+        x = tiles[..., None]
+        if repetition:
+            variants = [x, x[:, ::-1], x[:, :, ::-1], x[:, :, :, ::-1]]
+            y = g_apply(params, jnp.concatenate(variants, axis=0))
+            y0, yz, yy, yx = jnp.split(y, 4, axis=0)
+            y = (y0 + yz[:, ::-1] + yy[:, :, ::-1] + yx[:, :, :, ::-1]) * 0.25
+        else:
+            y = g_apply(params, x)
+        y = y[..., 0]
+        if b > 0:
+            y = y[:, b:-b, b:-b, b:-b]
+        y = y * valid_b[:, None, None, None]
+
+        def add_one(acc, i):
+            off = off_b[i]
+            cur = jax.lax.dynamic_slice(acc, (off[0], off[1], off[2]),
+                                        (roi, roi, roi))
+            return jax.lax.dynamic_update_slice(acc, cur + y[i],
+                                                (off[0], off[1], off[2]))
+
+        for i in range(B):
+            acc = add_one(acc, i)
+        return acc, None
+
+    if acc0 is None:
+        acc0 = jnp.zeros(out_shape, jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (offs, valid))
+    return acc

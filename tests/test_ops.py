@@ -1,0 +1,96 @@
+"""Golden parity tests for core ops vs torch (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neuroclear_tpu.nn.core import Conv, ConvTranspose, InstanceNorm, max_pool
+
+torch = pytest.importorskip("torch")
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def test_conv3d_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 8, 8, 8, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, 3, 5)).astype(np.float32)  # DHWIO
+    b = rng.normal(size=(5,)).astype(np.float32)
+
+    conv = Conv(3, 3, 5, 3, 1, 1)
+    y = conv.apply({"w": jnp.asarray(w), "b": jnp.asarray(b)}, jnp.asarray(x))
+
+    tw = torch.tensor(w).permute(4, 3, 0, 1, 2)  # -> OIDHW
+    tx = torch.tensor(x).permute(0, 4, 1, 2, 3)
+    ty = torch.nn.functional.conv3d(tx, tw, torch.tensor(b), 1, 1)
+    ty = ty.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(_np(y), ty, atol=2e-4)
+
+
+def test_conv2d_stride2_pad1_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 9, 9, 2)).astype(np.float32)
+    w = rng.normal(size=(4, 4, 2, 3)).astype(np.float32)
+    conv = Conv(2, 2, 3, 4, 2, 1, bias=False)
+    y = conv.apply({"w": jnp.asarray(w)}, jnp.asarray(x))
+    tw = torch.tensor(w).permute(3, 2, 0, 1)
+    tx = torch.tensor(x).permute(0, 3, 1, 2)
+    ty = torch.nn.functional.conv2d(tx, tw, None, 2, 1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(_np(y), ty, atol=2e-4)
+    assert y.shape == ty.shape
+
+
+def test_conv_transpose3d_2x_upsampling_shape_and_value():
+    """k=2, s=2 transpose conv: each input voxel spreads into a 2x2x2 block."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 4, 4, 4, 3)).astype(np.float32)
+    w = rng.normal(size=(2, 2, 2, 3, 5)).astype(np.float32)
+    ct = ConvTranspose(3, 3, 5, 2, 2, bias=False)
+    y = _np(ct.apply({"w": jnp.asarray(w)}, jnp.asarray(x)))
+    assert y.shape == (1, 8, 8, 8, 5)
+    # block (di,dj,dk) of output voxel (2i+di,...) = sum_ci x[i,ci]*w[di,dj,dk,ci,:]
+    expect = np.einsum("bzyxc,ijkco->bzyxijko", x, w)
+    expect = expect.transpose(0, 1, 5, 2, 6, 3, 7, 4).reshape(1, 8, 8, 8, 5)
+    np.testing.assert_allclose(y, expect, atol=2e-4)
+
+
+def test_maxpool3d_matches_torch():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 9, 8, 7, 4)).astype(np.float32)  # odd dims floor
+    y = _np(max_pool(jnp.asarray(x), 2, 3))
+    tx = torch.tensor(x).permute(0, 4, 1, 2, 3)
+    ty = torch.nn.functional.max_pool3d(tx, 2).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(y, ty, atol=1e-6)
+
+
+def test_instance_norm_matches_torch():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 6, 7, 8, 3)).astype(np.float32) * 5 + 2
+    y = _np(InstanceNorm(3).apply(jnp.asarray(x)))
+    tx = torch.tensor(x).permute(0, 4, 1, 2, 3)
+    inorm = torch.nn.InstanceNorm3d(3, affine=False, track_running_stats=False)
+    ty = inorm(tx).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(y, ty, atol=1e-4)
+
+
+def test_init_statistics():
+    from neuroclear_tpu.nn.core import init_weight
+
+    key = jax.random.PRNGKey(0)
+    kshape = (3, 3, 3, 64, 64)
+    w = _np(init_weight(key, kshape, "kaiming", 0.02))
+    fan_in = 3 * 3 * 3 * 64
+    assert abs(w.std() - np.sqrt(2.0 / fan_in)) < 0.05 * np.sqrt(2.0 / fan_in)
+    w = _np(init_weight(key, kshape, "normal", 0.02))
+    assert abs(w.std() - 0.02) < 0.002
+    w = _np(init_weight(key, kshape, "xavier", 1.0))
+    assert abs(w.std() - np.sqrt(2.0 / (2 * fan_in))) < 0.01
+
+    # orthogonal: rows of the (out, rest) flattening are orthonormal
+    w = _np(init_weight(key, (2, 2, 3, 8), "orthogonal", 1.0))
+    m = w.reshape(-1, 8).T  # (out, rest)
+    np.testing.assert_allclose(m @ m.T, np.eye(8), atol=1e-4)

@@ -1,0 +1,82 @@
+"""Augmentation parity: host chain vs reference cv2 code, device chain vs
+host chain."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from neuroclear_tpu.data.base_dataset import (
+    center_crop, normalize_dtype, random_crop, rotate_clean, rotate_clean_3d_xy)
+from neuroclear_tpu.ops.augment import dtype_inv_scale, fused_augment, sample_rotated_crop
+
+REF = "/root/reference/data/base_dataset.py"
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+@pytest.mark.parametrize("angle", [0, 7, 45, 90, 133, 180, 271, 359])
+def test_rotate_clean_bitexact_vs_reference(angle):
+    """Execute the reference's rotation helpers directly from the mounted
+    reference file and compare outputs bit-for-bit (square slices)."""
+    import cv2
+
+    src = open(REF).read()
+    start = src.index("def rotate_image")
+    end = src.index("def __rotate_clean_3D_xy")
+    ns = {"np": np, "cv2": cv2, "math": math}
+    exec(src[start:end].replace("__rotate_clean", "ref_rotate_clean"), ns)
+
+    img = np.random.default_rng(0).integers(0, 65535, (64, 64)).astype(np.uint16)
+    ours = rotate_clean(img, angle)
+    theirs = ns["ref_rotate_clean"](img, angle)
+    assert ours.shape == theirs.shape
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_device_crop_matches_host_chain():
+    rng = np.random.default_rng(1)
+    vol = rng.integers(0, 65535, (24, 80, 80)).astype(np.uint16)
+    for angle in [0, 30, 200]:
+        host = rotate_clean_3d_xy(vol, angle) / 65535.0
+        cz, cy, cx = 12, 32, 32
+        z0, y0, x0 = 3, 5, 9
+        hostc = host[z0:z0 + cz, y0:y0 + cy, x0:x0 + cx].astype(np.float32)
+        dev = np.asarray(sample_rotated_crop(
+            jnp.asarray(vol), angle, (z0, y0, x0), (cz, cy, cx), 1 / 65535.0))
+        assert dev.shape == hostc.shape
+        np.testing.assert_allclose(dev, hostc, atol=5e-5)
+
+
+def test_fused_augment_shapes_and_range():
+    import jax
+
+    vol = np.random.default_rng(2).integers(0, 65535, (32, 64, 64)).astype(np.uint16)
+    out = fused_augment(jax.random.PRNGKey(0), jnp.asarray(vol), (16, 24, 24),
+                        1 / 65535.0)
+    assert out.shape == (16, 24, 24)
+    o = np.asarray(out)
+    assert 0.0 <= o.min() and o.max() <= 1.0
+
+
+def test_normalize_dtype():
+    u8 = np.array([0, 255], np.uint8)
+    np.testing.assert_allclose(normalize_dtype(u8), [0.0, 1.0])
+    u16 = np.array([0, 65535], np.uint16)
+    np.testing.assert_allclose(normalize_dtype(u16), [0.0, 1.0])
+    assert dtype_inv_scale(np.uint8) == 1 / 255.0
+    assert dtype_inv_scale(np.uint16) == 1 / 65535.0
+
+
+def test_random_crop_zero_means_full_axis():
+    vol = np.arange(4 * 5 * 6).reshape(4, 5, 6)
+    out = random_crop(vol, (0, 3, 0))
+    assert out.shape == (4, 3, 6)
+
+
+def test_center_crop():
+    vol = np.zeros((10, 10, 10))
+    out = center_crop(vol, 80)  # keep 80% -> cut 10% per side
+    assert out.shape == (8, 8, 8)

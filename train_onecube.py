@@ -1,0 +1,117 @@
+"""Single-volume infinite trainer — CLI parity with the reference
+/root/reference/train_onecube.py (flags, cadence, console/TB/checkpoint
+artifacts), rebuilt TPU-first:
+
+  * the source volume lives in HBM; each iteration's augmented crop is drawn
+    by the fused on-device chain (ops/augment.py) instead of per-iteration
+    host cv2 work;
+  * the whole CycleGAN iteration is one compiled program (models/*_model.py);
+  * the persistent XLA compilation cache makes warm restarts near-instant.
+
+Example (the shipped production config, README.md:122-133):
+  python train_onecube.py --dataroot <dir> --dataset_mode singlevolume \
+    --preprocess random3Drotate_randomcrop_randomflip_addColorChannel_addBatchChannel \
+    --model axial_to_lateral_gan_apollo --netG unet_deconv --netG_B deep_linear_gen \
+    --netD basic --gan_mode lsgan --init_type kaiming --norm instance \
+    --batch_size 1 --lambda_A 5 --crop_size 108 108 108 --lambda_plane 1 1 1 \
+    --save_by_iter --save_latest_freq 500 --lr_policy constant \
+    --randomize_projection_depth --projection_depth 10 --display_histogram --add_date
+"""
+
+import os
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp"))
+
+from neuroclear_tpu import data
+from neuroclear_tpu.models import create_model
+from neuroclear_tpu.options.train_options import TrainOptions
+from neuroclear_tpu.utils.visualizer import Visualizer
+
+if __name__ == "__main__":
+    opt = TrainOptions().parse()
+
+    dataset_class = data.find_dataset_using_name(opt.dataset_mode)
+    dataset = dataset_class(opt)
+
+    model = create_model(opt)
+    model.setup(opt)
+    visualizer = Visualizer(opt)
+
+    device_sampling = (getattr(dataset, "supports_device_sampling", False)
+                       and not opt.host_augment)
+    if device_sampling:
+        print("augmentation: fused on-device chain")
+    else:
+        print("augmentation: host (cv2) chain")
+
+    iter_data_time = time.time()
+    total_iters = 0
+    loaded_iter = opt.load_iter + 1 if opt.load_iter > 0 else 0
+    total_iters += loaded_iter
+
+    visualizer.reset()
+    visualizer.display_model_hyperparameters()
+    print("Model hyperparameters documented on tensorboard.")
+
+    if opt.profile_dir:
+        jax.profiler.start_trace(opt.profile_dir)
+
+    while True:
+        if device_sampling:
+            data_i = {"A": dataset.sample(model.next_rng()),
+                      "A_paths": dataset.A_path}
+        else:
+            data_i = dataset[np.random.randint(0, 10)]
+
+        iter_start_time = time.time()
+        if (total_iters - loaded_iter) % opt.print_freq == 0:
+            t_data = iter_start_time - iter_data_time
+
+        total_iters += opt.batch_size
+        model.set_input(data_i)
+        model.optimize_parameters()
+
+        if total_iters % opt.display_freq == 0:
+            model.compute_visuals()
+            visualizer.display_current_results(model.get_current_visuals(),
+                                               total_iters)
+
+        if total_iters % opt.print_freq == 0:
+            print("----------------------------------")
+            print("exp name: " + str(opt.name) + ", gpu_id:" + str(opt.gpu_ids))
+            print("----------------------------------")
+            losses = model.get_current_losses()  # forces device sync
+            t_comp = (time.time() - iter_start_time) / opt.batch_size
+            visualizer.print_current_losses(1, total_iters, losses, t_comp, t_data)
+            if opt.display_id > 0:
+                visualizer.plot_current_losses(total_iters, losses, is_epoch=False)
+
+        if total_iters % opt.save_latest_freq == 0:
+            print("----------------------------------")
+            print("saving the latest model (iteration %d)" % total_iters)
+            save_suffix = "iter_%d" % total_iters if opt.save_by_iter else "latest"
+            model.save_networks(save_suffix)
+            print("saving the current histogram (iteration %d)" % total_iters)
+            visualizer.display_current_histogram(model.get_current_visuals(),
+                                                 total_iters)
+            print("saving the current visuals (iteration %d)" % total_iters)
+            visualizer.save_current_visuals(model.get_current_visuals(), total_iters)
+            print("----------------------------------")
+
+        model.update_learning_rate()
+        iter_data_time = time.time()
+
+        if opt.max_iters and total_iters - loaded_iter >= opt.max_iters:
+            print(f"reached --max_iters {opt.max_iters}; saving and exiting")
+            model.save_networks("iter_%d" % total_iters if opt.save_by_iter
+                                else "latest")
+            break
+
+    if opt.profile_dir:
+        jax.profiler.stop_trace()
