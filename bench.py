@@ -39,8 +39,10 @@ def bench_inference(size: int, tile_batch: int) -> float:
 
     g = G.UNetDeconv(1, 1, norm="instance")
     params = g.init(jax.random.PRNGKey(0), "kaiming", 0.02)
+    precision = os.environ.get("BENCH_PRECISION", "bfloat16")
     pipe = DiceInferencePipeline(g.apply, params, grid, 1 / 65535.0,
-                                 tile_batch=tile_batch)
+                                 tile_batch=tile_batch, precision=precision,
+                                 out_dtype=np.uint16, orig_shape=vol.shape)
 
     # warm-up/compile on a small same-tile-geometry volume is not possible
     # (out_shape is static); run once to compile, once to time.

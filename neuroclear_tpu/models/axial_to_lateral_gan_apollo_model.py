@@ -84,7 +84,7 @@ class AxialToLateralGANApolloModel(BaseModel):
                 randomize_projection_depth=opt.randomize_projection_depth,
                 projection_depth=opt.projection_depth,
                 min_projection_depth=opt.min_projection_depth,
-                beta1=opt.beta1)
+                beta1=opt.beta1, precision=getattr(opt, "precision", "float32"))
             self.base_lr = opt.lr
             self.optim = gc.make_adam(opt.beta1)
             self.opt_state = {
@@ -152,6 +152,8 @@ def make_apollo_step(nets, optim, cfg):
         depth = gc.sample_projection_depth(k_depth, cfg)
         kg = jax.random.split(k_g, 6)
         kd = jax.random.split(k_d, 12)
+        # mixed precision: f32 master params/Adam, compute in cfg.precision
+        real = real.astype(cfg.compute_dtype)
 
         d_apply = {k: (lambda k_: lambda x: nets[k_].apply(
             jax.lax.stop_gradient(d_params[k_]), x))(k) for k in d_keys}

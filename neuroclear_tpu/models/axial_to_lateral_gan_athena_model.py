@@ -83,7 +83,8 @@ class AxialToLateralGANAthenaModel(BaseModel):
         if self.isTrain:
             self.cfg = gc.GanStepConfig(gan_mode=opt.gan_mode, lambda_A=opt.lambda_A,
                                         lambda_plane=tuple(opt.lambda_plane),
-                                        beta1=opt.beta1)
+                                        beta1=opt.beta1,
+                                        precision=getattr(opt, "precision", "float32"))
             self.base_lr = opt.lr
             self.optim = gc.make_adam(opt.beta1)
             self.opt_state = {
@@ -129,6 +130,7 @@ def make_athena_step(nets, optim, cfg, axes):
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(g_params, d_params, opt_state, real, lr):
+        real = real.astype(cfg.compute_dtype)
         d_frozen = {k: (lambda k_: lambda x: nets[k_].apply(
             jax.lax.stop_gradient(d_params[k_]), x))(k) for k in d_params}
 

@@ -59,7 +59,8 @@ class AxialToLateralGANDryopsModel(BaseModel):
                 lambda_plane=tuple(opt.lambda_plane),
                 randomize_projection_depth=opt.randomize_projection_depth,
                 projection_depth=opt.projection_depth,
-                min_projection_depth=opt.min_projection_depth, beta1=opt.beta1)
+                min_projection_depth=opt.min_projection_depth, beta1=opt.beta1,
+                precision=getattr(opt, "precision", "float32"))
             self.base_lr = opt.lr
             self.optim = gc.make_adam(opt.beta1)
             self.opt_state = {
@@ -102,6 +103,7 @@ def make_dryops_step(nets, optim, cfg):
         depth = gc.sample_projection_depth(k_depth, cfg)
         kg = jax.random.split(k_g, 3)
         kd = jax.random.split(k_d, 6)
+        real = real.astype(cfg.compute_dtype)
 
         d_frozen = {k: (lambda k_: lambda x: nets[k_].apply(
             jax.lax.stop_gradient(d_params[k_]), x))(k) for k in d_params}

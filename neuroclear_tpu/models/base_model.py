@@ -26,6 +26,13 @@ from ..nn.core import count_params, flatten_params, unflatten_params
 from ..nn.schedulers import LRController
 
 
+def _atomic_savez(path: str, arrays: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # file handle: savez won't append '.npz'
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
 class BaseModel(ABC):
     def __init__(self, opt):
         self.opt = opt
@@ -123,10 +130,14 @@ class BaseModel(ABC):
     # ----------------------------------------------------------- checkpoints
 
     def save_networks(self, epoch):
+        """Atomic per-network checkpoints (write tmp + rename), so a
+        preemption mid-save never corrupts the resume point — the idiomatic
+        TPU upgrade over the reference's direct torch.save
+        (base_model.py:146-162)."""
         os.makedirs(self.save_dir, exist_ok=True)
         for name in self.model_names:
             path = os.path.join(self.save_dir, f"{epoch}_net_{name}.npz")
-            np.savez(path, **flatten_params(self.params[name]))
+            _atomic_savez(path, flatten_params(self.params[name]))
         self._save_optim(epoch)
 
     def _save_optim(self, epoch):
@@ -134,8 +145,8 @@ class BaseModel(ABC):
         if state is None:
             return
         flat, _ = jax.tree_util.tree_flatten(state)
-        np.savez(os.path.join(self.save_dir, f"{epoch}_optim.npz"),
-                 **{str(i): np.asarray(x) for i, x in enumerate(flat)})
+        _atomic_savez(os.path.join(self.save_dir, f"{epoch}_optim.npz"),
+                      {str(i): np.asarray(x) for i, x in enumerate(flat)})
 
     def _load_optim(self, epoch):
         path = os.path.join(self.save_dir, f"{epoch}_optim.npz")

@@ -64,11 +64,16 @@ class GanStepConfig:
     projection_depth: int = 10
     min_projection_depth: int = 2
     beta1: float = 0.1
+    precision: str = "float32"  # compute dtype; params/Adam stay f32
 
     @property
     def lambda_norm(self):
         s = sum(self.lambda_plane)
         return tuple(f / s for f in self.lambda_plane)
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
 
 
 def g_gan(pred, cfg):

@@ -91,6 +91,15 @@ def _dim_numbers(dim: int):
     raise ValueError("Invalid image dimension.")
 
 
+def _conv_precision(dtype):
+    """float32 inputs get true-f32 convolutions (torch parity); bfloat16
+    inputs use the fast single-pass MXU path.  Without this, XLA's DEFAULT
+    precision silently computes 'f32' convs at bf16 accuracy (~1e-2 rel
+    error vs torch)."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 @dataclasses.dataclass(frozen=True)
 class Conv:
     """N-d convolution with torch-style symmetric integer padding.
@@ -121,6 +130,7 @@ class Conv:
             window_strides=(self.stride,) * self.dim,
             padding=((self.pad, self.pad),) * self.dim,
             dimension_numbers=_dim_numbers(self.dim),
+            precision=_conv_precision(x.dtype),
         )
         if self.bias:
             y = y + params["b"].astype(y.dtype)
@@ -150,12 +160,17 @@ class ConvTranspose:
         return p
 
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        # lax.conv_transpose(transpose_kernel=False) correlates with the
+        # kernel (spatially flipped vs torch's ConvTranspose); flip here so
+        # semantics match nn.ConvTranspose{2,3}d exactly.
+        w = params["w"][(slice(None, None, -1),) * self.dim]
         y = jax.lax.conv_transpose(
             x,
-            params["w"].astype(x.dtype),
+            w.astype(x.dtype),
             strides=(self.stride,) * self.dim,
             padding="VALID",
             dimension_numbers=_dim_numbers(self.dim),
+            precision=_conv_precision(x.dtype),
         )
         if self.bias:
             y = y + params["b"].astype(y.dtype)

@@ -303,9 +303,12 @@ class FixedLinearKernel:
     def apply(self, p: Params, x: jnp.ndarray, rng: Optional[jax.Array] = None) -> jnp.ndarray:
         k = p["psf"].shape[: self.dim]
         pads = tuple((int(round((kk - 1) / 2)),) * 2 for kk in k)
+        from .core import _conv_precision
+
         y = jax.lax.conv_general_dilated(
-            x, p["psf"], (1,) * self.dim, pads,
+            x, p["psf"].astype(x.dtype), (1,) * self.dim, pads,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC") if self.dim == 3 else ("NHWC", "HWIO", "NHWC"),
+            precision=_conv_precision(x.dtype),
         )
         if k[-1] % 2 == 0:  # even kernels over-pad by one; centre-crop
             y = y[(slice(None),) + (slice(1, None),) * self.dim + (slice(None),)]

@@ -40,8 +40,14 @@ def _on_tpu() -> bool:
         return False
 
 
+import os
+
+_DISABLE = os.environ.get("NEUROCLEAR_NO_PALLAS", "0") == "1"
+
+
 def _use_pallas(rows: int, c: int) -> bool:
-    return _HAS_PALLAS and _on_tpu() and rows >= 512 and c % 8 == 0
+    return (_HAS_PALLAS and not _DISABLE and _on_tpu()
+            and rows >= 512 and c % 8 == 0)
 
 
 def _chunk_rows(rows: int, c: int, itemsize: int) -> int:

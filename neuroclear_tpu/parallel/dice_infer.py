@@ -35,9 +35,17 @@ from ..data.dicing import DiceGrid
 
 
 class DiceInferencePipeline:
+    """precision: compute dtype for the generator ('bfloat16' is ~30% faster
+    and halves activation HBM; accumulation always f32).
+    out_dtype: when set (np.uint16/np.uint8) the final cast happens ON DEVICE
+    and run() returns integers — 2-4x less device-to-host traffic.
+    orig_shape: when set, the dicing pad is cropped off on device before the
+    transfer."""
+
     def __init__(self, g_apply: Callable, params, grid: DiceGrid, inv_scale: float,
                  tile_batch: int = 4, repetition: bool = False,
-                 n_devices: int = 1):
+                 n_devices: int = 1, precision: str = "float32",
+                 out_dtype=None, orig_shape=None):
         self.g_apply = g_apply
         self.params = params
         self.grid = grid
@@ -45,10 +53,13 @@ class DiceInferencePipeline:
         self.tile_batch = int(tile_batch)
         self.repetition = repetition
         self.n_devices = n_devices
+        self.precision = precision
+        self.out_dtype = out_dtype
+        self.orig_shape = tuple(orig_shape) if orig_shape is not None else None
 
     def run(self, vol_padded: np.ndarray) -> np.ndarray:
         """vol_padded: dicing-padded (z, y, x) raw volume (NOT border-padded).
-        Returns the assembled float32 volume in [0,1], padded size."""
+        Returns the assembled volume ([0,1] f32, or out_dtype integers)."""
         g = self.grid
         b = g.border_cut
         roi = g.roi_size
@@ -69,14 +80,13 @@ class DiceInferencePipeline:
         acc = self._scan(vol, jnp.asarray(offs), jnp.asarray(valid),
                          vol_padded.shape, ext, roi, b, B)
 
-        # separable coverage normalisation
-        cz = 1.0 / g.coverage_1d(g.z_steps)
-        cy = 1.0 / g.coverage_1d(g.y_steps)
-        cx = 1.0 / g.coverage_1d(g.x_steps)
-        acc = acc * jnp.asarray(cz)[:, None, None]
-        acc = acc * jnp.asarray(cy)[None, :, None]
-        acc = acc * jnp.asarray(cx)[None, None, :]
-        return np.asarray(acc)
+        # separable coverage normalisation + optional crop/cast, one jit
+        inv_cov = (jnp.asarray(1.0 / g.coverage_1d(g.z_steps)),
+                   jnp.asarray(1.0 / g.coverage_1d(g.y_steps)),
+                   jnp.asarray(1.0 / g.coverage_1d(g.x_steps)))
+        out = _finalize(acc, inv_cov, self.orig_shape,
+                        np.dtype(self.out_dtype).name if self.out_dtype else None)
+        return np.asarray(out)
 
     # ------------------------------------------------------------------
 
@@ -85,7 +95,7 @@ class DiceInferencePipeline:
             return self._scan_sharded(vol, offs, valid, out_shape, ext, roi, b, B)
         return _dice_scan(self.g_apply, self.params, vol, offs, valid,
                           out_shape, ext, roi, b, B, self.inv_scale,
-                          self.repetition)
+                          self.repetition, precision=self.precision)
 
     def _scan_sharded(self, vol, offs, valid, out_shape, ext, roi, b, B):
         from jax.sharding import Mesh, PartitionSpec as P
@@ -109,7 +119,8 @@ class DiceInferencePipeline:
             acc0 = jax.lax.pcast(acc0, ("data",), to="varying")
             local = _dice_scan(self.g_apply, self.params, vol_, offs_[0],
                                valid_[0], out_shape, ext, roi, b, B,
-                               self.inv_scale, self.repetition, acc0=acc0)
+                               self.inv_scale, self.repetition,
+                               precision=self.precision, acc0=acc0)
             return jax.lax.psum(local, "data")
 
         return jax.jit(run)(vol, offs_d, valid_d)
@@ -118,13 +129,14 @@ class DiceInferencePipeline:
 @functools.partial(
     jax.jit,
     static_argnames=("g_apply", "out_shape", "ext", "roi", "b", "B",
-                     "inv_scale", "repetition"),
+                     "inv_scale", "repetition", "precision"),
 )
 def _dice_scan(g_apply, params, vol, offs, valid, out_shape, ext, roi, b, B,
-               inv_scale, repetition, acc0=None):
+               inv_scale, repetition, precision="float32", acc0=None):
     n_batches = offs.shape[0] // B
     offs = offs.reshape(n_batches, B, 3)
     valid = valid.reshape(n_batches, B)
+    compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
 
     def gather_tile(off):
         return jax.lax.dynamic_slice(vol, (off[0], off[1], off[2]),
@@ -132,7 +144,8 @@ def _dice_scan(g_apply, params, vol, offs, valid, out_shape, ext, roi, b, B,
 
     def body(acc, inp):
         off_b, valid_b = inp
-        tiles = jax.vmap(gather_tile)(off_b).astype(jnp.float32) * inv_scale
+        tiles = (jax.vmap(gather_tile)(off_b).astype(jnp.float32)
+                 * inv_scale).astype(compute_dtype)
         x = tiles[..., None]
         if repetition:
             variants = [x, x[:, ::-1], x[:, :, ::-1], x[:, :, :, ::-1]]
@@ -141,7 +154,7 @@ def _dice_scan(g_apply, params, vol, offs, valid, out_shape, ext, roi, b, B,
             y = (y0 + yz[:, ::-1] + yy[:, :, ::-1] + yx[:, :, :, ::-1]) * 0.25
         else:
             y = g_apply(params, x)
-        y = y[..., 0]
+        y = y[..., 0].astype(jnp.float32)
         if b > 0:
             y = y[:, b:-b, b:-b, b:-b]
         y = y * valid_b[:, None, None, None]
@@ -161,3 +174,19 @@ def _dice_scan(g_apply, params, vol, offs, valid, out_shape, ext, roi, b, B,
         acc0 = jnp.zeros(out_shape, jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, (offs, valid))
     return acc
+
+
+@functools.partial(jax.jit, static_argnames=("orig_shape", "out_dtype"))
+def _finalize(acc, inv_cov, orig_shape, out_dtype):
+    icz, icy, icx = inv_cov
+    out = acc * icz[:, None, None] * icy[None, :, None] * icx[None, None, :]
+    if orig_shape is not None:
+        oz, oy, ox = orig_shape
+        out = out[:oz, :oy, :ox]
+    if out_dtype == "uint16":
+        out = jnp.clip(out, 0.0, 1.0) * (2 ** 16 - 1)
+        out = out.astype(jnp.uint16)
+    elif out_dtype == "uint8":
+        out = jnp.clip(out, 0.0, 1.0) * 255.0
+        out = out.astype(jnp.uint8)
+    return out

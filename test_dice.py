@@ -102,32 +102,42 @@ def run_fused(opt, model, dataset_probe):
     g_apply = model.nets[net_name].apply
     params = model.params[net_name]
 
+    # The reference computes the percentile normalisation on the PADDED
+    # volume and crops afterwards (assemble_dice.py:190-213), so the device
+    # crop is only safe when normalize_intensity is off.
+    out_dtype = {"uint8": np.uint8, "uint16": np.uint16}.get(opt.data_type)
+    orig = None if opt.normalize_intensity else dataset_probe.size_original()
     pipe = DiceInferencePipeline(
         g_apply, params, dataset_probe.cube.grid, inv_scale,
-        tile_batch=opt.tile_batch, repetition=opt.repetition)
+        tile_batch=opt.tile_batch, repetition=opt.repetition,
+        precision=opt.precision, out_dtype=out_dtype, orig_shape=orig)
     fake = pipe.run(np.asarray(vol_padded))
 
     out = {}
     if not opt.skip_real:
-        out["real"] = _postprocess(np.asarray(vol_padded, np.float32) * inv_scale,
-                                   opt, dataset_probe)
-    out["fake"] = _postprocess(fake, opt, dataset_probe)
+        real = np.asarray(vol_padded, np.float32) * inv_scale
+        out["real"] = _postprocess(real, opt, dataset_probe.size_original())
+    out["fake"] = _postprocess(fake, opt, dataset_probe.size_original())
     return out
 
 
-def _postprocess(vol_f32, opt, dataset_probe):
-    """normalize_intensity -> dtype cast -> crop pad (Assemble_Dice parity,
-    util/assemble_dice.py:190-213)."""
+def _postprocess(vol, opt, orig_shape):
+    """normalize_intensity -> dtype cast -> pad crop (Assemble_Dice parity,
+    util/assemble_dice.py:190-213).  Accepts [0,1] float or already-cast
+    integer volumes (the fast path casts on device to cut transfer 2-4x;
+    percentile math then runs on the quantised grid — <=1 LSB deviation)."""
+    scale = {"uint8": 255.0, "uint16": 2.0 ** 16 - 1}.get(opt.data_type, 1.0)
     if opt.normalize_intensity:
+        vol_f32 = (vol.astype(np.float32) / scale
+                   if np.issubdtype(vol.dtype, np.integer) else vol)
         p1, p99 = np.percentile(vol_f32, tuple(opt.sat_level))
-        vol_f32 = imageops.rescale_intensity(vol_f32, in_range=(p1, p99))
-    if opt.data_type == "uint8":
-        vol = (vol_f32 * 255).astype(np.uint8)
-    elif opt.data_type == "uint16":
-        vol = (vol_f32 * (2 ** 16 - 1)).astype(np.uint16)
-    else:
-        vol = vol_f32
-    oz, oy, ox = dataset_probe.size_original()
+        vol = imageops.rescale_intensity(vol_f32, in_range=(p1, p99))
+    if not np.issubdtype(vol.dtype, np.integer):
+        if opt.data_type == "uint8":
+            vol = (vol * 255).astype(np.uint8)
+        elif opt.data_type == "uint16":
+            vol = (vol * (2 ** 16 - 1)).astype(np.uint16)
+    oz, oy, ox = orig_shape
     return vol[:oz, :oy, :ox]
 
 

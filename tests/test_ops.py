@@ -54,8 +54,16 @@ def test_conv_transpose3d_2x_upsampling_shape_and_value():
     assert y.shape == (1, 8, 8, 8, 5)
     # block (di,dj,dk) of output voxel (2i+di,...) = sum_ci x[i,ci]*w[di,dj,dk,ci,:]
     expect = np.einsum("bzyxc,ijkco->bzyxijko", x, w)
-    expect = expect.transpose(0, 1, 5, 2, 6, 3, 7, 4).reshape(1, 8, 8, 8, 5)
+    # interleave (z,i)(y,j)(x,k): dims (b,z,y,x,i,j,k,o) -> (b,z,i,y,j,x,k,o)
+    expect = expect.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(1, 8, 8, 8, 5)
     np.testing.assert_allclose(y, expect, atol=2e-4)
+
+    # torch parity
+    tw = torch.tensor(w).permute(3, 4, 0, 1, 2)  # -> (in, out, k, k, k)
+    tx = torch.tensor(x).permute(0, 4, 1, 2, 3)
+    ty = torch.nn.functional.conv_transpose3d(tx, tw, stride=2)
+    ty = ty.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(y, ty, atol=2e-4)
 
 
 def test_maxpool3d_matches_torch():
