@@ -1,0 +1,102 @@
+"""Synthetic generator, visualizer sinks, assemble TTA helpers, HTML."""
+
+import os
+
+import numpy as np
+
+from neuroclear_tpu.utils.synthetic import generate_bead_volume
+
+
+def test_synthetic_bead_volume():
+    noisy, gt, rotated = generate_bead_volume(shape=(40, 40, 40), n_beads=30,
+                                              seed=1, gauss_noise=0.0,
+                                              poisson_peak=1e6)
+    assert noisy.shape == gt.shape == rotated.shape == (40, 40, 40)
+    assert noisy.dtype == np.uint16
+    # ground truth has signal; blurred input is smoother (lower high-freq energy)
+    assert gt.max() > 10000
+    gvar = np.abs(np.diff(gt.astype(float), axis=0)).mean()
+    nvar = np.abs(np.diff(noisy.astype(float), axis=0)).mean()
+    assert nvar < gvar  # axial blur smooths z
+    # rotated is gt rotated 90deg about x: z axis becomes y
+    np.testing.assert_array_equal(rotated, np.rot90(gt, k=1, axes=(0, 1)))
+
+
+def test_visualizer_sinks(tmp_path):
+    import argparse
+
+    from neuroclear_tpu.utils.visualizer import Visualizer
+
+    opt = argparse.Namespace(
+        checkpoints_dir=str(tmp_path), name="viz", isTrain=True, no_html=False,
+        display_histogram=True, display_winsize=256, model="apollo")
+    v = Visualizer(opt)
+    vol = np.random.default_rng(0).random((1, 8, 8, 8, 1)).astype(np.float32)
+    visuals = {"real": vol, "fake": vol}
+    v.display_current_results(visuals, 1)
+    v.display_current_histogram(visuals, 1)
+    v.display_model_hyperparameters()
+    v.save_current_visuals(visuals, 1)
+    v.plot_current_losses(1, {"G_A": 0.5})
+    v.print_current_losses(1, 50, {"G_A": 0.5, "cycle": 1.0}, 0.1, 0.01)
+    assert os.path.exists(tmp_path / "viz" / "loss_log.txt")
+    assert os.path.exists(tmp_path / "viz" / "web" / "images" / "1_real.tif")
+    log = (tmp_path / "viz" / "loss_log.txt").read_text()
+    assert "G_A: 0.500" in log and "cycle: 1.000" in log
+
+
+def test_html_writer(tmp_path):
+    from neuroclear_tpu.utils.html import HTML
+
+    page = HTML(str(tmp_path), "Experiment = x")
+    page.add_header("hdr")
+    page.add_images(["a.png"], ["label"], ["a.png"])
+    page.save()
+    html = (tmp_path / "index.html").read_text()
+    assert "hdr" in html and "a.png" in html
+
+
+def test_assemble_tta_helpers():
+    from collections import OrderedDict
+
+    from neuroclear_tpu.utils.assemble import Assemble_Dice
+
+    vis = np.random.default_rng(0).random((1, 1, 4, 4, 4)).astype(np.float32)
+    d = OrderedDict([("A", vis), ("A_paths", "p")])
+    variants = Assemble_Dice.varycubeinput(None, d)
+    assert len(variants) == 4  # original + flip z/y/x
+    # identity network: combinecube must reconstruct the original exactly
+    out_list = [OrderedDict([("fake", v["A"])]) for v in variants]
+    combined = Assemble_Dice.combinecube(None, out_list)
+    np.testing.assert_allclose(combined["fake"], vis, atol=1e-7)
+
+
+def test_image_pool():
+    from neuroclear_tpu.utils.image_pool import ImagePool
+
+    pool = ImagePool(2)
+    imgs = np.arange(8, dtype=np.float32).reshape(4, 2)
+    out = pool.query(imgs)
+    assert out.shape == imgs.shape
+    assert pool.num_imgs == 2
+
+
+def test_get_data_offline(tmp_path):
+    import tarfile
+
+    from neuroclear_tpu.utils.get_data import GetData
+
+    src = tmp_path / "arch"
+    src.mkdir()
+    (src / "f.txt").write_text("hi")
+    tar = tmp_path / "data.tar.gz"
+    with tarfile.open(tar, "w:gz") as tf:
+        tf.add(src, arcname="data")
+    g = GetData("cyclegan", verbose=False)
+    out = g.get(str(tmp_path / "out"), dataset=str(tar))
+    assert os.path.exists(tmp_path / "out" / "data" / "f.txt")
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        g.get(str(tmp_path), dataset="http://example.com/x.tar.gz")
