@@ -89,6 +89,63 @@ class DiceInferencePipeline:
         return np.asarray(out)
 
     # ------------------------------------------------------------------
+    # streaming slab pipeline: z-major processing with a (roi, Y, X) slab
+    # accumulator, per-slab emission (cast + coverage-normalised on device)
+    # and async D2H overlapped with the next slab's compute.  Bounded HBM:
+    # no full-volume f32 accumulator; volumes larger than HBM headroom work.
+
+    def run_streaming(self, vol_padded: np.ndarray) -> np.ndarray:
+        g = self.grid
+        b, roi, step = g.border_cut, g.roi_size, g.step
+        ext = roi + 2 * b
+        Zp, Yp, Xp = vol_padded.shape
+
+        vol = jnp.asarray(vol_padded)
+        if b > 0:
+            vol = jnp.pad(vol, ((b, b), (b, b), (b, b)), mode="reflect")
+
+        # per-slab (y, x) offsets in dicing order (x fastest)
+        offs_yx = np.array([[y * step, x * step]
+                            for y in range(g.y_steps)
+                            for x in range(g.x_steps)], np.int32)
+        n_slab = len(offs_yx)
+        B = self.tile_batch
+        n_pad = (-n_slab) % B
+        valid = np.concatenate([np.ones(n_slab, np.float32),
+                                np.zeros(n_pad, np.float32)])
+        offs_yx = np.concatenate([offs_yx, np.repeat(offs_yx[-1:], n_pad, 0)])
+        offs_yx = jnp.asarray(offs_yx)
+        valid = jnp.asarray(valid)
+
+        inv_cz = 1.0 / g.coverage_1d(g.z_steps)
+        inv_cy = jnp.asarray(1.0 / g.coverage_1d(g.y_steps))
+        inv_cx = jnp.asarray(1.0 / g.coverage_1d(g.x_steps))
+        out_dtype = np.dtype(self.out_dtype).name if self.out_dtype else None
+
+        oz, oy, ox = self.orig_shape if self.orig_shape else (Zp, Yp, Xp)
+        emitted = []
+        acc = jnp.zeros((roi, Yp, Xp), jnp.float32)
+        for i in range(g.z_steps):
+            row_inv = jnp.asarray(inv_cz[i * step:i * step + roi])
+            acc, emit = _slab_step(
+                self.g_apply, self.params, vol, acc, jnp.int32(i * step),
+                offs_yx, valid, (row_inv, inv_cy, inv_cx), Yp, Xp, ext, roi,
+                step, b, B, self.inv_scale, self.repetition, self.precision,
+                out_dtype, oy, ox)
+            try:
+                emit.copy_to_host_async()
+            except Exception:
+                pass
+            emitted.append(emit)
+
+        rows = []
+        for i, emit in enumerate(emitted):
+            take = roi if i == g.z_steps - 1 else step
+            rows.append(np.asarray(emit)[:take])
+        out = np.concatenate(rows, axis=0)
+        return out[:oz]
+
+    # ------------------------------------------------------------------
 
     def _scan(self, vol, offs, valid, out_shape, ext, roi, b, B):
         if self.n_devices > 1:
@@ -190,3 +247,71 @@ def _finalize(acc, inv_cov, orig_shape, out_dtype):
         out = jnp.clip(out, 0.0, 1.0) * 255.0
         out = out.astype(jnp.uint8)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g_apply", "Yp", "Xp", "ext", "roi", "step", "b", "B",
+                     "inv_scale", "repetition", "precision", "out_dtype",
+                     "oy", "ox"),
+)
+def _slab_step(g_apply, params, vol, acc, z0, offs_yx, valid, inv_cov,
+               Yp, Xp, ext, roi, step, b, B, inv_scale, repetition, precision,
+               out_dtype, oy, ox):
+    """Process one z-slab of tiles into the (roi, Yp, Xp) accumulator, then
+    emit the normalised/cast rows and roll the overlap tail forward."""
+    row_inv, inv_cy, inv_cx = inv_cov
+    n_batches = offs_yx.shape[0] // B
+    offs_b = offs_yx.reshape(n_batches, B, 2)
+    valid_b = valid.reshape(n_batches, B)
+    compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+
+    def gather_tile(off):
+        return jax.lax.dynamic_slice(vol, (z0, off[0], off[1]),
+                                     (ext, ext, ext))
+
+    def body(acc, inp):
+        ob, vb = inp
+        tiles = (jax.vmap(gather_tile)(ob).astype(jnp.float32)
+                 * inv_scale).astype(compute_dtype)
+        x = tiles[..., None]
+        if repetition:
+            variants = [x, x[:, ::-1], x[:, :, ::-1], x[:, :, :, ::-1]]
+            y = g_apply(params, jnp.concatenate(variants, axis=0))
+            y0, yz, yy, yx = jnp.split(y, 4, axis=0)
+            y = (y0 + yz[:, ::-1] + yy[:, :, ::-1] + yx[:, :, :, ::-1]) * 0.25
+        else:
+            y = g_apply(params, x)
+        y = y[..., 0].astype(jnp.float32)
+        if b > 0:
+            y = y[:, b:-b, b:-b, b:-b]
+        y = y * vb[:, None, None, None]
+
+        def add_one(acc, i):
+            off = ob[i]
+            cur = jax.lax.dynamic_slice(acc, (0, off[0], off[1]),
+                                        (roi, roi, roi))
+            return jax.lax.dynamic_update_slice(acc, cur + y[i],
+                                                (0, off[0], off[1]))
+
+        for i in range(B):
+            acc = add_one(acc, i)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc, (offs_b, valid_b))
+
+    # emit all roi rows (the caller uses the first `step` except on the
+    # final slab), normalised by coverage + cropped/cast on device
+    emit = acc * row_inv[:, None, None]
+    emit = emit * inv_cy[None, :, None] * inv_cx[None, None, :]
+    emit = emit[:, :oy, :ox]
+    if out_dtype == "uint16":
+        emit = (jnp.clip(emit, 0.0, 1.0) * (2 ** 16 - 1)).astype(jnp.uint16)
+    elif out_dtype == "uint8":
+        emit = (jnp.clip(emit, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    # roll: tail rows [step, roi) seed the next slab; rest zero
+    tail = acc[step:]
+    new_acc = jnp.zeros_like(acc)
+    new_acc = jax.lax.dynamic_update_slice(new_acc, tail, (0, 0, 0))
+    return new_acc, emit

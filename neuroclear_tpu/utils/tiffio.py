@@ -1,13 +1,17 @@
-"""Minimal 3D TIFF I/O built on PIL (tifffile is not in this image).
+"""3D TIFF I/O: native C++ codec with PIL fallback.
 
-Reads/writes multi-page grayscale TIFF volumes (uint8/uint16/float32) —
-covers the reference's usage of skimage.io.imread / tifffile.imsave on
-microscopy stacks (singlevolume_dataset.py:33, test_dice.py:151).
-Also supports .npy volumes (the reference's make_dataset lists them).
+The hot path — whole uint16 microscopy stacks (the reference reads/writes
+900^3 volumes via skimage/tifffile: singlevolume_dataset.py:33,
+test_dice.py:151) — goes through the baseline-TIFF C++ codec
+(native/tiffcodec.cpp, built by scripts/build_native.sh): O(1) page parsing
++ bulk fread/fwrite instead of PIL's per-page Python decode.  Compressed /
+exotic TIFFs and non-TIFF formats fall back to PIL; .npy is supported
+directly (the reference's make_dataset lists .npy files).
 """
 
 from __future__ import annotations
 
+import ctypes
 import os
 
 import numpy as np
@@ -15,11 +19,43 @@ from PIL import Image, ImageSequence
 
 Image.MAX_IMAGE_PIXELS = None  # large microscopy slices
 
+_NATIVE = None
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE is None:
+        so = os.path.join(os.path.dirname(__file__), "..", "native",
+                          "libtiffcodec.so")
+        try:
+            lib = ctypes.CDLL(os.path.abspath(so))
+            lib.tiff_probe.argtypes = [ctypes.c_char_p,
+                                       ctypes.POINTER(ctypes.c_int64),
+                                       ctypes.POINTER(ctypes.c_int32)]
+            lib.tiff_read.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+            lib.tiff_write.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int32,
+                                       ctypes.c_int32]
+            _NATIVE = lib
+        except OSError:
+            _NATIVE = False
+    return _NATIVE or None
+
 
 def imread(path: str) -> np.ndarray:
     """Load a 2D image or 3D (Z,Y,X) stack."""
     if path.endswith(".npy"):
         return np.load(path)
+    lib = _native()
+    if lib is not None:
+        shape = (ctypes.c_int64 * 3)()
+        bits = ctypes.c_int32()
+        if lib.tiff_probe(path.encode(), shape, ctypes.byref(bits)) == 0:
+            dt = {8: np.uint8, 16: np.uint16, 32: np.float32}[bits.value]
+            out = np.empty((shape[0], shape[1], shape[2]), dt)
+            if lib.tiff_read(path.encode(), out.ctypes.data_as(ctypes.c_void_p)) == 0:
+                return out[0] if shape[0] == 1 else out
     with Image.open(path) as im:
         pages = [np.asarray(p) for p in ImageSequence.Iterator(im)]
     if len(pages) == 1:
@@ -34,6 +70,20 @@ def imwrite(path: str, arr: np.ndarray) -> None:
     if path.endswith(".npy"):
         np.save(path, arr)
         return
+    lib = _native()
+    if lib is not None and arr.dtype in (np.uint8, np.uint16, np.float32):
+        a3 = arr[None] if arr.ndim == 2 else arr
+        a3 = np.ascontiguousarray(a3)
+        bits = a3.dtype.itemsize * 8
+        is_float = 1 if a3.dtype == np.float32 else 0
+        total = a3.nbytes + a3.shape[0] * 200 + 64
+        if a3.ndim == 3 and total < 0xFFFFFFF0:
+            rc = lib.tiff_write(path.encode(),
+                                a3.ctypes.data_as(ctypes.c_void_p),
+                                a3.shape[0], a3.shape[1], a3.shape[2],
+                                bits, is_float)
+            if rc == 0:
+                return
     if arr.ndim == 2:
         _page(arr).save(path)
         return

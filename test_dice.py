@@ -111,7 +111,7 @@ def run_fused(opt, model, dataset_probe):
         g_apply, params, dataset_probe.cube.grid, inv_scale,
         tile_batch=opt.tile_batch, repetition=opt.repetition,
         precision=opt.precision, out_dtype=out_dtype, orig_shape=orig)
-    fake = pipe.run(np.asarray(vol_padded))
+    fake = pipe.run_streaming(np.asarray(vol_padded))
 
     out = {}
     if not opt.skip_real:

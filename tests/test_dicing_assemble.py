@@ -102,6 +102,22 @@ def test_device_pipeline_identity_roundtrip():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
 
+def test_streaming_pipeline_matches_batch_path():
+    from neuroclear_tpu.parallel.dice_infer import DiceInferencePipeline
+
+    rng = np.random.default_rng(5)
+    vol = rng.integers(0, 65535, (50, 45, 40)).astype(np.uint16)
+    vp = pad_for_dicing(vol, 20, 5)
+    grid = DiceGrid(vp.shape, 20, 5, 3)
+    ident = lambda params, x: x
+    pipe = DiceInferencePipeline(ident, {}, grid, 1 / 65535.0, tile_batch=3,
+                                 out_dtype=np.uint16, orig_shape=vol.shape)
+    out_s = pipe.run_streaming(vp)
+    out_b = np.asarray(pipe.run(vp))[:50, :45, :40]
+    assert out_s.shape == vol.shape
+    np.testing.assert_array_equal(out_s, out_b)
+
+
 def test_device_pipeline_sharded_and_tta():
     import jax
 
