@@ -31,9 +31,12 @@ jax.config.update("jax_compilation_cache_dir",
 from neuroclear_tpu import data
 from neuroclear_tpu.models import create_model
 from neuroclear_tpu.options.train_options import TrainOptions
+from neuroclear_tpu.parallel.train_parallel import (DataParallel,
+                                                    maybe_initialize_distributed)
 from neuroclear_tpu.utils.visualizer import Visualizer
 
 if __name__ == "__main__":
+    maybe_initialize_distributed()
     opt = TrainOptions().parse()
 
     dataset_class = data.find_dataset_using_name(opt.dataset_mode)
@@ -50,6 +53,13 @@ if __name__ == "__main__":
     else:
         print("augmentation: host (cv2) chain")
 
+    # data-parallel scale-out: one crop per device per iteration, gradients
+    # all-reduced over ICI (replaces the reference's DataParallel)
+    dp = None
+    if len(jax.devices()) > 1 and device_sampling:
+        dp = DataParallel(model)
+        print(f"data parallel over {dp.n} devices (mesh axis 'data')")
+
     iter_data_time = time.time()
     total_iters = 0
     loaded_iter = opt.load_iter + 1 if opt.load_iter > 0 else 0
@@ -63,7 +73,10 @@ if __name__ == "__main__":
         jax.profiler.start_trace(opt.profile_dir)
 
     while True:
-        if device_sampling:
+        if dp is not None:
+            crops = [dataset.sample(model.next_rng()) for _ in range(dp.n)]
+            data_i = {"A": dp.shard(dp.stack(crops)), "A_paths": dataset.A_path}
+        elif device_sampling:
             data_i = {"A": dataset.sample(model.next_rng()),
                       "A_paths": dataset.A_path}
         else:
