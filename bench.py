@@ -79,7 +79,8 @@ def bench_train() -> float:
         min_projection_depth=2, beta1=0.1, lr=1e-4, direction="AtoB",
         lr_policy="constant", n_epochs=100, n_epochs_decay=100, epoch_count=1,
         lr_decay_iters=50, continue_train=False, load_iter=0, epoch="latest",
-        verbose=False, seed=0)
+        verbose=False, seed=0,
+        precision=os.environ.get("BENCH_PRECISION", "bfloat16"))
     m = AxialToLateralGANApolloModel(opt)
     m.setup(opt)
     x = np.random.rand(1, 108, 108, 108, 1).astype(np.float32)

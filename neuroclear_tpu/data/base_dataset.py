@@ -162,6 +162,29 @@ def center_crop(img: np.ndarray, crop_portion: int) -> np.ndarray:
     return img[cy:-cy, cx:-cx]
 
 
+def permutate(img: np.ndarray) -> np.ndarray:
+    """Stack the volume with each single-axis flip (base_dataset.py:159-170)."""
+    flips = [img] + [np.flip(img, ax) for ax in range(img.ndim)]
+    return np.stack(flips, axis=0)
+
+
+def random_contrast(img: np.ndarray, randomcontrast_val: int = 50) -> np.ndarray:
+    """Random contrast stretch by percentile clipping (base_dataset.py:172-185)."""
+    pct = random.randint(randomcontrast_val, 99)
+    lo, hi = np.min(img), np.max(img)
+    top = np.percentile(img, pct)
+    if hi == top:
+        return img
+    clipped = np.clip(img, top, None)
+    return (clipped - top) * ((hi - lo) / (hi - top)) + lo
+
+
+def random_gamma(img: np.ndarray) -> np.ndarray:
+    """Random gamma in [1, 1.5] on a [0,1] image (base_dataset.py:274-277)."""
+    gamma = np.random.uniform(1.0, 1.5)
+    return img ** (1.0 / gamma)
+
+
 def random_flip(img: np.ndarray) -> np.ndarray:
     """Each axis flipped with probability 1/2 (distribution-equal to the
     reference's shuffled-pop scheme, base_dataset.py:279-289)."""

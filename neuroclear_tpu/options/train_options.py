@@ -55,8 +55,11 @@ class TrainOptions(BaseOptions):
                             help="learning rate policy. [linear | step | plateau | cosine]")
         parser.add_argument("--lr_decay_iters", type=int, default=50,
                             help="multiply by a gamma every lr_decay_iters iterations")
-        # TPU-native extension: cap iterations (the reference loops forever)
+        # TPU-native extensions
         parser.add_argument("--max_iters", type=int, default=0,
                             help="stop train_onecube after this many iterations (0 = infinite)")
+        parser.add_argument("--nan_check", action="store_true",
+                            help="abort (after saving a debug checkpoint) if any loss "
+                                 "goes non-finite; checked at --print_freq cadence")
         self.isTrain = True
         return parser

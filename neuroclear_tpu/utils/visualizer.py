@@ -137,6 +137,32 @@ class Visualizer:
             log_file.write(f"{message}\n")
 
 
+def save_images(webpage, visuals, image_path, aspect_ratio=1.0, width=256):
+    """Per-item HTML gallery writer (util/visualizer.py:21-57)."""
+    import ntpath
+
+    image_dir = webpage.get_image_dir()
+    short_path = ntpath.basename(image_path[0] if isinstance(image_path, list)
+                                 else image_path)
+    name = os.path.splitext(short_path)[0]
+    webpage.add_header(name)
+    ims, txts, links = [], [], []
+    for label, im_data in visuals.items():
+        image_numpy = np.squeeze(tensor2im(np.asarray(im_data), imtype=np.uint8))
+        label_dir = os.path.join(image_dir, label)
+        os.makedirs(label_dir, exist_ok=True)
+        image_name = f"{name}_{label}.png"
+        save_path = os.path.join(label_dir, image_name)
+        from PIL import Image
+
+        Image.fromarray(image_numpy if image_numpy.ndim == 2
+                        else image_numpy[image_numpy.shape[0] // 2]).save(save_path)
+        ims.append(save_path)
+        txts.append(label)
+        links.append(save_path)
+    webpage.add_images(ims, txts, links, width=width)
+
+
 def save_test_metrics(save_dir, opt, ssims, psnrs):
     """metrics.txt writer (util/visualizer.py:59-83)."""
     message = "Experiment Name: " + opt.name + "\n"

@@ -100,6 +100,11 @@ if __name__ == "__main__":
             print("exp name: " + str(opt.name) + ", gpu_id:" + str(opt.gpu_ids))
             print("----------------------------------")
             losses = model.get_current_losses()  # forces device sync
+            if opt.nan_check and not all(
+                    v == v and abs(v) != float("inf") for v in losses.values()):
+                print(f"NaN/Inf loss detected at iter {total_iters}: {losses}")
+                model.save_networks("nan_debug")
+                raise SystemExit(3)
             t_comp = (time.time() - iter_start_time) / opt.batch_size
             visualizer.print_current_losses(1, total_iters, losses, t_comp, t_data)
             if opt.display_id > 0:
