@@ -27,6 +27,10 @@ import numpy as np
 from .imageops import match_histograms, rescale_intensity
 from .. import data as data_registry
 
+# spatial axes of a (B, z, y, x, C) visual — the reference's NCDHW
+# equivalent was axes 2..4 (assemble_dice.py:85)
+TTA_AXES = (1, 2, 3)
+
 
 class Assemble_Dice:
     def __init__(self, opt, dataset=None):
@@ -95,7 +99,7 @@ class Assemble_Dice:
         vis, path = input[keys[0]], input[keys[1]]
         vis = np.asarray(vis)
         out = [input]
-        for axis in range(2, vis.ndim):
+        for axis in TTA_AXES:
             d = OrderedDict()
             d[keys[0]] = np.flip(vis, axis)
             d[keys[1]] = path
@@ -105,12 +109,11 @@ class Assemble_Dice:
     def combinecube(self, visual_list):
         """Unflip the augmented outputs and average (assemble_dice.py:100-128)."""
         keys = list(visual_list[0].keys())
-        ndim = np.asarray(visual_list[0][keys[0]]).ndim
         unflipped = [visual_list[0]]
         for i, flipped in enumerate(visual_list[1:]):
             d = OrderedDict()
             for name in keys:
-                d[name] = np.flip(np.asarray(flipped[name]), 2 + i)
+                d[name] = np.flip(np.asarray(flipped[name]), TTA_AXES[i])
             unflipped.append(d)
         out = OrderedDict()
         for name in keys:
