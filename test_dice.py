@@ -173,8 +173,6 @@ def run_legacy(opt, model, dataset_probe):
 
 
 def save_outputs(opt, web_dir, img_whole_dict):
-    if opt.data_type == "uint16":
-        pass
     if not opt.skip_real:
         real_volume = img_whole_dict["real"]
         print("Input data type is: " + str(real_volume.dtype))
@@ -267,6 +265,12 @@ def compute_gt_metrics(opt, web_dir, img_whole_dict):
 
     psnr_input_gt = imageops.get_psnr(real_volume, gt_volume, datarange)
     psnr_output_gt = imageops.get_psnr(fake_volume, gt_volume, datarange)
+    # SSIM (the reference only scaffolds it, util/visualizer.py:59-83);
+    # size-gated: the windowed stats need several float64 volume copies.
+    ssim_input_gt = ssim_output_gt = None
+    if gt_volume.size <= 400 ** 3:
+        ssim_input_gt = imageops.get_ssim(real_volume, gt_volume, datarange)
+        ssim_output_gt = imageops.get_ssim(fake_volume, gt_volume, datarange)
     print("Metrics are calculated.")
 
     message = "Experiment Name: " + opt.name + "\n"
@@ -275,9 +279,13 @@ def compute_gt_metrics(opt, web_dir, img_whole_dict):
     message += "---------------------------------------------------------\n"
     message += "Network Input vs. Groundtruth\n"
     message += "(psnr: %.4f) \n" % psnr_input_gt
+    if ssim_input_gt is not None:
+        message += "(ssim: %.4f) \n" % ssim_input_gt
     message += "---------------------------------------------------------\n"
     message += "Network Output vs. Groundtruth\n"
     message += "(psnr: %.4f) \n" % psnr_output_gt
+    if ssim_output_gt is not None:
+        message += "(ssim: %.4f) \n" % ssim_output_gt
     message += "---------------------------------------------------------"
     print(message)
     with open(os.path.join(web_dir, "metrics.txt"), "a") as metric_file:
