@@ -33,6 +33,35 @@ def _atomic_savez(path: str, arrays: dict) -> None:
     os.replace(tmp, path)
 
 
+def _gather_tree(tree):
+    """Fetch a pytree of device arrays with ONE device-to-host transfer.
+
+    Per-leaf np.asarray costs a round trip per parameter tensor — minutes
+    per checkpoint over a remote-device link.  Packing into a single flat
+    f32 buffer on device makes the save a single bulk copy."""
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves or not any(hasattr(x, "devices") for x in leaves):
+        return tree
+    dtypes = [np.dtype(str(x.dtype)) for x in leaves]
+    shapes = [x.shape for x in leaves]
+    if any(d.itemsize != 4 for d in dtypes):
+        # non-4-byte dtypes: fall back to per-leaf fetch
+        return jax.tree_util.tree_unflatten(
+            treedef, [np.asarray(x) for x in leaves])
+    packed = jax.jit(lambda ls: jnp.concatenate(
+        [jax.lax.bitcast_convert_type(jnp.ravel(x), jnp.int32)
+         for x in ls]))(leaves)
+    flat = np.asarray(packed)
+    out, pos = [], 0
+    for dt, sh in zip(dtypes, shapes):
+        n = int(np.prod(sh)) if sh else 1
+        out.append(flat[pos:pos + n].view(dt).reshape(sh))
+        pos += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 class BaseModel(ABC):
     def __init__(self, opt):
         self.opt = opt
@@ -135,16 +164,17 @@ class BaseModel(ABC):
         TPU upgrade over the reference's direct torch.save
         (base_model.py:146-162)."""
         os.makedirs(self.save_dir, exist_ok=True)
+        host_params = _gather_tree({n: self.params[n] for n in self.model_names})
         for name in self.model_names:
             path = os.path.join(self.save_dir, f"{epoch}_net_{name}.npz")
-            _atomic_savez(path, flatten_params(self.params[name]))
+            _atomic_savez(path, flatten_params(host_params[name]))
         self._save_optim(epoch)
 
     def _save_optim(self, epoch):
         state = getattr(self, "opt_state", None)
         if state is None:
             return
-        flat, _ = jax.tree_util.tree_flatten(state)
+        flat, _ = jax.tree_util.tree_flatten(_gather_tree(state))
         _atomic_savez(os.path.join(self.save_dir, f"{epoch}_optim.npz"),
                       {str(i): np.asarray(x) for i, x in enumerate(flat)})
 
