@@ -110,10 +110,14 @@ class DiceInferencePipeline:
                             for x in range(g.x_steps)], np.int32)
         n_slab = len(offs_yx)
         B = self.tile_batch
-        n_pad = (-n_slab) % B
+        nd = self.n_devices
+        n_pad = (-n_slab) % (B * nd)
         valid = np.concatenate([np.ones(n_slab, np.float32),
                                 np.zeros(n_pad, np.float32)])
         offs_yx = np.concatenate([offs_yx, np.repeat(offs_yx[-1:], n_pad, 0)])
+        if nd > 1:  # round-robin tiles across devices
+            offs_yx = offs_yx.reshape(-1, nd, 2).transpose(1, 0, 2)
+            valid = valid.reshape(-1, nd).T
         offs_yx = jnp.asarray(offs_yx)
         valid = jnp.asarray(valid)
 
@@ -125,9 +129,10 @@ class DiceInferencePipeline:
         oz, oy, ox = self.orig_shape if self.orig_shape else (Zp, Yp, Xp)
         emitted = []
         acc = jnp.zeros((roi, Yp, Xp), jnp.float32)
+        slab_fn = _slab_step if nd == 1 else self._make_sharded_slab_step(nd)
         for i in range(g.z_steps):
             row_inv = jnp.asarray(inv_cz[i * step:i * step + roi])
-            acc, emit = _slab_step(
+            acc, emit = slab_fn(
                 self.g_apply, self.params, vol, acc, jnp.int32(i * step),
                 offs_yx, valid, (row_inv, inv_cy, inv_cx), Yp, Xp, ext, roi,
                 step, b, B, self.inv_scale, self.repetition, self.precision,
@@ -146,6 +151,65 @@ class DiceInferencePipeline:
         return out[:oz]
 
     # ------------------------------------------------------------------
+
+    def _make_sharded_slab_step(self, nd: int):
+        """Multi-chip streaming: each device runs its round-robin share of
+        the slab's tiles into a zero local delta; one psum over ICI merges
+        deltas before the (replicated) emit/roll."""
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from .mesh import get_mesh
+
+        mesh = get_mesh(nd)
+        cache = {}
+
+        def step(g_apply, params, vol, acc, z0, offs_yx, valid, inv_cov,
+                 Yp, Xp, ext, roi, step_, b, B, inv_scale, repetition,
+                 precision, out_dtype, oy, ox):
+            # build + jit the sharded fns once (keyed on the static config)
+            key = (Yp, Xp, ext, roi, step_, b, B, inv_scale, repetition,
+                   precision, out_dtype, oy, ox)
+            if key not in cache:
+                @functools.partial(
+                    shard_map, mesh=mesh,
+                    in_specs=(P(), P(), P(), P("data"), P("data")),
+                    out_specs=P(),
+                )
+                def accumulate(vol_, params_, z0_, offs_, valid_):
+                    zero = jnp.zeros((roi, Yp, Xp), jnp.float32)
+                    zero = jax.lax.pcast(zero, ("data",), to="varying")
+                    delta = _slab_accumulate(g_apply, params_, vol_, zero, z0_,
+                                             offs_[0], valid_[0], ext, roi, b,
+                                             B, inv_scale, repetition,
+                                             precision)
+                    return jax.lax.psum(delta, "data")
+
+                @jax.jit
+                def finish(acc, delta, row_inv, inv_cy, inv_cx):
+                    acc = acc + delta
+                    emit = acc * row_inv[:, None, None]
+                    emit = emit * inv_cy[None, :, None] * inv_cx[None, None, :]
+                    emit = emit[:, :oy, :ox]
+                    if out_dtype == "uint16":
+                        emit = (jnp.clip(emit, 0.0, 1.0)
+                                * (2 ** 16 - 1)).astype(jnp.uint16)
+                    elif out_dtype == "uint8":
+                        emit = (jnp.clip(emit, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+                    tail = acc[step_:]
+                    new_acc = jnp.zeros_like(acc)
+                    new_acc = jax.lax.dynamic_update_slice(new_acc, tail,
+                                                           (0, 0, 0))
+                    return new_acc, emit
+
+                cache[key] = (jax.jit(accumulate), finish)
+
+            acc_fn, finish_fn = cache[key]
+            row_inv, inv_cy, inv_cx = inv_cov
+            delta = acc_fn(vol, params, z0, offs_yx, valid)
+            return finish_fn(acc, delta, row_inv, inv_cy, inv_cx)
+
+        return step
 
     def _scan(self, vol, offs, valid, out_shape, ext, roi, b, B):
         if self.n_devices > 1:
@@ -249,18 +313,9 @@ def _finalize(acc, inv_cov, orig_shape, out_dtype):
     return out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("g_apply", "Yp", "Xp", "ext", "roi", "step", "b", "B",
-                     "inv_scale", "repetition", "precision", "out_dtype",
-                     "oy", "ox"),
-)
-def _slab_step(g_apply, params, vol, acc, z0, offs_yx, valid, inv_cov,
-               Yp, Xp, ext, roi, step, b, B, inv_scale, repetition, precision,
-               out_dtype, oy, ox):
-    """Process one z-slab of tiles into the (roi, Yp, Xp) accumulator, then
-    emit the normalised/cast rows and roll the overlap tail forward."""
-    row_inv, inv_cy, inv_cx = inv_cov
+def _slab_accumulate(g_apply, params, vol, acc, z0, offs_yx, valid, ext, roi,
+                     b, B, inv_scale, repetition, precision):
+    """Scan this slab's tile batches through G and accumulate into acc."""
     n_batches = offs_yx.shape[0] // B
     offs_b = offs_yx.reshape(n_batches, B, 2)
     valid_b = valid.reshape(n_batches, B)
@@ -299,6 +354,23 @@ def _slab_step(g_apply, params, vol, acc, z0, offs_yx, valid, inv_cov,
         return acc, None
 
     acc, _ = jax.lax.scan(body, acc, (offs_b, valid_b))
+    return acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g_apply", "Yp", "Xp", "ext", "roi", "step", "b", "B",
+                     "inv_scale", "repetition", "precision", "out_dtype",
+                     "oy", "ox"),
+)
+def _slab_step(g_apply, params, vol, acc, z0, offs_yx, valid, inv_cov,
+               Yp, Xp, ext, roi, step, b, B, inv_scale, repetition, precision,
+               out_dtype, oy, ox):
+    """Process one z-slab of tiles into the (roi, Yp, Xp) accumulator, then
+    emit the normalised/cast rows and roll the overlap tail forward."""
+    row_inv, inv_cy, inv_cx = inv_cov
+    acc = _slab_accumulate(g_apply, params, vol, acc, z0, offs_yx, valid,
+                           ext, roi, b, B, inv_scale, repetition, precision)
 
     # emit all roi rows (the caller uses the first `step` except on the
     # final slab), normalised by coverage + cropped/cast on device

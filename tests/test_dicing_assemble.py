@@ -118,6 +118,28 @@ def test_streaming_pipeline_matches_batch_path():
     np.testing.assert_array_equal(out_s, out_b)
 
 
+def test_streaming_pipeline_sharded():
+    import jax
+
+    from neuroclear_tpu.parallel.dice_infer import DiceInferencePipeline
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    rng = np.random.default_rng(6)
+    vol = rng.integers(0, 65535, (50, 45, 40)).astype(np.uint16)
+    vp = pad_for_dicing(vol, 20, 5)
+    grid = DiceGrid(vp.shape, 20, 5, 3)
+    ident = lambda params, x: x
+    p1 = DiceInferencePipeline(ident, {}, grid, 1 / 65535.0, tile_batch=2,
+                               out_dtype=np.uint16, orig_shape=vol.shape)
+    p4 = DiceInferencePipeline(ident, {}, grid, 1 / 65535.0, tile_batch=2,
+                               n_devices=4, out_dtype=np.uint16,
+                               orig_shape=vol.shape)
+    o1 = p1.run_streaming(vp)
+    o4 = p4.run_streaming(vp)
+    assert np.abs(o1.astype(int) - o4.astype(int)).max() <= 1  # psum ordering
+
+
 def test_device_pipeline_sharded_and_tta():
     import jax
 
