@@ -35,6 +35,16 @@ class SingleVolumeDataset(BaseDataset):
             and "randomcrop" in tokens
             and all(c > 0 for c in opt.crop_size)
         )
+        if self._device_ok and "random3Drotate" in tokens:
+            # worst-case inscribed rectangle (45 deg) must still fit the crop
+            # — the host chain would hit the reference's crop assert
+            # (base_dataset.py:191-193); fail the same way, up front.
+            z, y, x = self.A_img_np.shape
+            worst = int(min(y, x) / np.sqrt(2.0))
+            cz, cy, cx = opt.crop_size
+            assert z >= cz and worst >= cy and worst >= cx, (
+                f"crop {opt.crop_size} cannot fit the worst-case rotated "
+                f"volume extents ({z},{worst},{worst})")
         self._tokens = set(tokens)
         self._vol_dev = None
 
