@@ -6,7 +6,6 @@ from __future__ import annotations
 import jax
 
 from .base_model import BaseModel
-from . import gan_common  # noqa: F401  (registry import side effects)
 from ..nn import factory
 from .axial_to_lateral_gan_apollo_model import _to_ndhwc
 
