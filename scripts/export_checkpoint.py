@@ -17,6 +17,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # conversion needs no accelerator
+
 import numpy as np
 
 from neuroclear_tpu.nn.core import flatten_params, unflatten_params
