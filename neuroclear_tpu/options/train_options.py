@@ -61,5 +61,10 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--nan_check", action="store_true",
                             help="abort (after saving a debug checkpoint) if any loss "
                                  "goes non-finite; checked at --print_freq cadence")
+        parser.add_argument("--watchdog_secs", type=int, default=0,
+                            help="exit with code 42 if no training progress for this "
+                                 "many seconds (a hung device client can otherwise "
+                                 "block forever); pair with an auto-resume wrapper "
+                                 "(--continue_train --load_iter)")
         self.isTrain = True
         return parser

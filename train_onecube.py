@@ -72,6 +72,24 @@ if __name__ == "__main__":
     if opt.profile_dir:
         jax.profiler.start_trace(opt.profile_dir)
 
+    # failure detection: a wedged device client blocks the loop forever;
+    # the watchdog turns that into a clean exit the resume contract handles
+    # (idiomatic stand-in for the reference's manual relaunch, SURVEY §5.3)
+    heartbeat = [time.time()]
+    if opt.watchdog_secs > 0:
+        import threading
+
+        def _watch():
+            while True:
+                time.sleep(min(30, opt.watchdog_secs))
+                if time.time() - heartbeat[0] > opt.watchdog_secs:
+                    print(f"watchdog: no progress for {opt.watchdog_secs}s; "
+                          "exiting 42 (resume with --continue_train)",
+                          flush=True)
+                    os._exit(42)
+
+        threading.Thread(target=_watch, daemon=True).start()
+
     while True:
         if dp is not None:
             crops = [dataset.sample(model.next_rng()) for _ in range(dp.n)]
@@ -124,6 +142,7 @@ if __name__ == "__main__":
 
         model.update_learning_rate()
         iter_data_time = time.time()
+        heartbeat[0] = time.time()
 
         if opt.max_iters and total_iters - loaded_iter >= opt.max_iters:
             print(f"reached --max_iters {opt.max_iters}; saving and exiting")
