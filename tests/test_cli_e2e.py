@@ -1,0 +1,74 @@
+"""End-to-end CLI tests: train_onecube -> checkpoint -> test_dice, as
+subprocesses with tiny networks on CPU (the BASELINE 'CPU smoke' config)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from neuroclear_tpu.utils import tiffio
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, env_extra=None):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR=os.path.expanduser("~/.cache/jax_comp"))
+    env.update(env_extra or {})
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, cwd=REPO, env=env, timeout=900)
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tinydata")
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 65535, (48, 48, 48), dtype=np.uint16)
+    tiffio.imwrite(str(d / "input" / "vol.tif"), vol)
+    tiffio.imwrite(str(d / "gt" / "vol.tif"), vol)
+    return d
+
+
+def test_train_onecube_and_test_dice_cli(tiny_data, tmp_path):
+    ck = str(tmp_path / "ck")
+    r = _run([
+        "train_onecube.py", "--dataroot", str(tiny_data / "input"),
+        "--name", "cli", "--checkpoints_dir", ck,
+        "--dataset_mode", "singlevolume",
+        "--preprocess",
+        "random3Drotate_randomcrop_randomflip_addColorChannel_addBatchChannel",
+        "--model", "axial_to_lateral_gan_apollo",
+        "--netG", "linearkernel", "--netG_B", "linearkernel", "--netD", "pixel",
+        "--ndf", "8", "--gan_mode", "lsgan", "--init_type", "normal",
+        "--norm", "instance", "--lambda_A", "5",
+        "--crop_size", "16", "16", "16", "--lambda_plane", "1", "1", "1",
+        "--save_by_iter", "--save_latest_freq", "3", "--lr_policy", "constant",
+        "--randomize_projection_depth", "--projection_depth", "4",
+        "--print_freq", "1", "--display_freq", "1000", "--no_html",
+        "--display_id", "0", "--max_iters", "3", "--seed", "0"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert os.path.exists(os.path.join(ck, "cli", "iter_3_net_G_A.npz")), \
+        r.stdout[-500:]
+    assert "augmentation: fused on-device chain" in r.stdout
+
+    res = str(tmp_path / "res")
+    r = _run([
+        "test_dice.py", "--dataroot", str(tiny_data / "input"),
+        "--dataroot_gt", str(tiny_data / "gt"),
+        "--name", "cli", "--checkpoints_dir", ck, "--results_dir", res,
+        "--serial_batches", "--preprocess", "addColorChannel",
+        "--dataset_mode", "diceImage", "--netG", "linearkernel",
+        "--overlap", "4", "--dice_size", "24", "24", "24",
+        "--normalize_intensity", "--image_dimension", "3",
+        "--model_suffix", "_A", "--save_volume", "--border_cut", "2",
+        "--skip_real", "--load_iter", "3"])
+    assert r.returncode == 0, r.stderr[-800:]
+    vols = []
+    for root, _, files in os.walk(res):
+        vols += [os.path.join(root, f) for f in files if f.endswith(".tif")]
+    assert vols, r.stdout[-500:]
+    out = tiffio.imread(vols[0])
+    assert out.shape == (48, 48, 48)
+    assert "psnr" in r.stdout

@@ -28,6 +28,14 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_comp"))
 
+# honour JAX_PLATFORMS even on hosts whose sitecustomize re-forces a TPU
+# plugin after env-var selection
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from neuroclear_tpu import data
 from neuroclear_tpu.models import create_model
 from neuroclear_tpu.options.train_options import TrainOptions
