@@ -219,7 +219,7 @@ class DiceInferencePipeline:
                           self.repetition, precision=self.precision)
 
     def _scan_sharded(self, vol, offs, valid, out_shape, ext, roi, b, B):
-        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
         from jax.experimental.shard_map import shard_map
 
         from .mesh import get_mesh
