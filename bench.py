@@ -7,8 +7,10 @@ Baselines (BASELINE.md): reference inference on GTX 1080-Ti = ~2.0 Mvoxel/s
 (900^3 in 5-8 min); reference training = 0.16 it/s.  TPU targets: 900^3
 inference < 30 s (~24 Mvoxel/s) on a v5p-8; here we run on a single chip.
 
-Env knobs: BENCH_SIZE (default 900), BENCH_TILE_BATCH (default 4),
-BENCH_TRAIN=0 to skip the train-step timing.
+Env knobs: BENCH_SIZE (default 900), BENCH_ROI/BENCH_OV/BENCH_BC (tile
+geometry, default 204/15/10), BENCH_TILE_BATCH (default 1 — HBM-safe at
+ext 224^3), BENCH_PRECISION (default bfloat16), BENCH_TRAIN=0 to skip the
+train-step timing.
 """
 
 import json
@@ -109,7 +111,8 @@ def bench_train() -> float:
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", "900"))
-    tile_batch = int(os.environ.get("BENCH_TILE_BATCH", "4"))
+    # tile_batch 1 at roi 204 (ext 224^3) is the HBM-safe default on 16GB
+    tile_batch = int(os.environ.get("BENCH_TILE_BATCH", "1"))
     vox_per_s = bench_inference(size, tile_batch)
 
     extra = {}
