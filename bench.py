@@ -91,8 +91,11 @@ def bench_train() -> float:
         lr_decay_iters=50, continue_train=False, load_iter=0, epoch="latest",
         verbose=False, seed=0,
         precision=os.environ.get("BENCH_PRECISION", "bfloat16"))
-    m = AxialToLateralGANApolloModel(opt)
-    m.setup(opt)
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
+        m = AxialToLateralGANApolloModel(opt)
+        m.setup(opt)
     x = np.random.rand(1, 108, 108, 108, 1).astype(np.float32)
     m.set_input({"A": x, "A_paths": "bench"})
     m.optimize_parameters()
