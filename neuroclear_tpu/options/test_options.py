@@ -51,7 +51,7 @@ class TestOptions(BaseOptions):
         parser.add_argument("--skip_real", action="store_true",
                             help="Skip saving input image files. ")
         # TPU-native extension: tile batch size for the device pipeline
-        parser.add_argument("--tile_batch", type=int, default=8,
+        parser.add_argument("--tile_batch", type=int, default=2,
                             help="number of dice tiles per device batch during inference")
         parser.set_defaults(model="test")
         parser.set_defaults(load_size=parser.get_default("crop_size"))
