@@ -100,9 +100,20 @@ class DiceInferencePipeline:
         ext = roi + 2 * b
         Zp, Yp, Xp = vol_padded.shape
 
-        vol = jnp.asarray(vol_padded)
-        if b > 0:
-            vol = jnp.pad(vol, ((b, b), (b, b), (b, b)), mode="reflect")
+        # upload the volume as per-slab z-chunks, issued async up front so
+        # host-to-device transfer overlaps the earlier slabs' compute
+        vol_bc = np.pad(vol_padded, ((b, b), (b, b), (b, b)), mode="reflect") \
+            if b > 0 else np.asarray(vol_padded)
+        chunks = []
+        for i in range(g.z_steps):
+            z0 = i * step
+            z1 = (i + 1) * step if i < g.z_steps - 1 else vol_bc.shape[0]
+            chunks.append(jax.device_put(np.ascontiguousarray(vol_bc[z0:z1])))
+
+        def slab_volume(i):
+            if i == g.z_steps - 1:
+                return chunks[i]  # already exactly ext rows
+            return jnp.concatenate([chunks[i], chunks[i + 1][:ext - step]], 0)
 
         # per-slab (y, x) offsets in dicing order (x fastest)
         offs_yx = np.array([[y * step, x * step]
@@ -133,7 +144,7 @@ class DiceInferencePipeline:
         for i in range(g.z_steps):
             row_inv = jnp.asarray(inv_cz[i * step:i * step + roi])
             acc, emit = slab_fn(
-                self.g_apply, self.params, vol, acc, jnp.int32(i * step),
+                self.g_apply, self.params, slab_volume(i), acc, jnp.int32(0),
                 offs_yx, valid, (row_inv, inv_cy, inv_cx), Yp, Xp, ext, roi,
                 step, b, B, self.inv_scale, self.repetition, self.precision,
                 out_dtype, oy, ox)
