@@ -104,16 +104,24 @@ class DiceInferencePipeline:
         # host-to-device transfer overlaps the earlier slabs' compute
         vol_bc = np.pad(vol_padded, ((b, b), (b, b), (b, b)), mode="reflect") \
             if b > 0 else np.asarray(vol_padded)
-        chunks = []
-        for i in range(g.z_steps):
-            z0 = i * step
-            z1 = (i + 1) * step if i < g.z_steps - 1 else vol_bc.shape[0]
-            chunks.append(jax.device_put(np.ascontiguousarray(vol_bc[z0:z1])))
+        if step >= ext - step and g.z_steps > 1:
+            # per-slab chunks: slab i = chunk i + head of chunk i+1
+            chunks = []
+            for i in range(g.z_steps):
+                z0 = i * step
+                z1 = (i + 1) * step if i < g.z_steps - 1 else vol_bc.shape[0]
+                chunks.append(jax.device_put(np.ascontiguousarray(vol_bc[z0:z1])))
 
-        def slab_volume(i):
-            if i == g.z_steps - 1:
-                return chunks[i]  # already exactly ext rows
-            return jnp.concatenate([chunks[i], chunks[i + 1][:ext - step]], 0)
+            def slab_volume(i):
+                if i == g.z_steps - 1:
+                    return chunks[i]  # already exactly ext rows
+                return jnp.concatenate([chunks[i], chunks[i + 1][:ext - step]], 0)
+        else:
+            # extreme overlap (a slab spans >2 chunks): upload whole volume
+            whole = jax.device_put(vol_bc)
+
+            def slab_volume(i):
+                return jax.lax.dynamic_slice_in_dim(whole, i * step, ext, 0)
 
         # per-slab (y, x) offsets in dicing order (x fastest)
         offs_yx = np.array([[y * step, x * step]
