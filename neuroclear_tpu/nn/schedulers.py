@@ -21,12 +21,12 @@ class LRController:
         self.n_epochs_decay = getattr(opt, "n_epochs_decay", 100)
         self.epoch_count = getattr(opt, "epoch_count", 1)
         self.lr_decay_iters = getattr(opt, "lr_decay_iters", 50)
-        self.scale = self._compute(self.count)
         # plateau state (torch ReduceLROnPlateau(mode=min, factor=0.2,
         # threshold=0.01, patience=5) semantics, rel threshold)
         self._best = math.inf
         self._bad = 0
         self._plateau_scale = 1.0
+        self.scale = self._compute(self.count)
 
     def _compute(self, epoch: int) -> float:
         if self.policy == "linear":

@@ -80,6 +80,20 @@ def test_lr_policies():
         c.step()
     assert c.scale < 1e-9
 
+    # plateau: torch ReduceLROnPlateau(min, factor=0.2, threshold=0.01,
+    # patience=5) semantics — decays only after >5 non-improving steps
+    c = LRController("plateau", opt)
+    c.step(1.0)
+    for _ in range(5):  # 5 bad epochs: still within patience
+        c.step(1.0)
+    assert c.scale == 1.0
+    c.step(1.0)  # 6th bad epoch -> decay
+    assert abs(c.scale - 0.2) < 1e-9
+    c.step(0.5)  # improvement resets patience
+    for _ in range(5):
+        c.step(0.5)
+    assert abs(c.scale - 0.2) < 1e-9
+
 
 def test_param_flatten_roundtrip():
     tree = {"a": {"b": jnp.ones((2, 3)), "c": jnp.zeros((4,))},
