@@ -84,7 +84,8 @@ class AxialToLateralGANApolloModel(BaseModel):
                 randomize_projection_depth=opt.randomize_projection_depth,
                 projection_depth=opt.projection_depth,
                 min_projection_depth=opt.min_projection_depth,
-                beta1=opt.beta1, precision=getattr(opt, "precision", "float32"))
+                beta1=opt.beta1, precision=getattr(opt, "precision", "float32"),
+                remat=getattr(opt, "remat", False))
             self.base_lr = opt.lr
             self.optim = gc.make_adam(opt.beta1)
             self.opt_state = {
@@ -159,9 +160,12 @@ def make_apollo_step(nets, optim, cfg):
             jax.lax.stop_gradient(d_params[k_]), x))(k) for k in d_keys}
 
         # ---- G step (backward_G parity, apollo_model.py:255-283) ----------
+        ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg)
+        gb_apply = gc.maybe_remat(nets["G_B"].apply, cfg)
+
         def g_loss_fn(gp):
-            fake = nets["G_A"].apply(gp["G_A"], real)
-            rec = nets["G_B"].apply(gp["G_B"], fake)
+            fake = ga_apply(gp["G_A"], real)
+            rec = gb_apply(gp["G_B"], fake)
 
             g_a_lat = gc.g_gan(gc.probe_proj(kg[0], fake, LAT, depth,
                                              d_apply["D_A_lateral"]), cfg) * lam_t

@@ -84,7 +84,8 @@ class AxialToLateralGANAthenaModel(BaseModel):
             self.cfg = gc.GanStepConfig(gan_mode=opt.gan_mode, lambda_A=opt.lambda_A,
                                         lambda_plane=tuple(opt.lambda_plane),
                                         beta1=opt.beta1,
-                                        precision=getattr(opt, "precision", "float32"))
+                                        precision=getattr(opt, "precision", "float32"),
+                                        remat=getattr(opt, "remat", False))
             self.base_lr = opt.lr
             self.optim = gc.make_adam(opt.beta1)
             self.opt_state = {
@@ -135,9 +136,12 @@ def make_athena_step(nets, optim, cfg, axes):
             jax.lax.stop_gradient(d_params[k_]), x))(k) for k in d_params}
 
         # ---- G step (backward_G, athena_model.py:240-260) -----------------
+        ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg)
+        gb_apply = gc.maybe_remat(nets["G_B"].apply, cfg)
+
         def g_loss_fn(gp):
-            fake = nets["G_A"].apply(gp["G_A"], real)
-            rec = nets["G_B"].apply(gp["G_B"], fake)
+            fake = ga_apply(gp["G_A"], real)
+            rec = gb_apply(gp["G_B"], fake)
             g_a_xy = gc.g_gan(gc.probe_all_slices(fake, target_ax, d_frozen["D_A_xy"]),
                               cfg) * lam_t
             g_a_yz = gc.g_gan(gc.probe_all_slices(fake, source_ax, d_frozen["D_A_yz"]),

@@ -60,7 +60,8 @@ class AxialToLateralGANDryopsModel(BaseModel):
                 randomize_projection_depth=opt.randomize_projection_depth,
                 projection_depth=opt.projection_depth,
                 min_projection_depth=opt.min_projection_depth, beta1=opt.beta1,
-                precision=getattr(opt, "precision", "float32"))
+                precision=getattr(opt, "precision", "float32"),
+                remat=getattr(opt, "remat", False))
             self.base_lr = opt.lr
             self.optim = gc.make_adam(opt.beta1)
             self.opt_state = {
@@ -108,8 +109,10 @@ def make_dryops_step(nets, optim, cfg):
         d_frozen = {k: (lambda k_: lambda x: nets[k_].apply(
             jax.lax.stop_gradient(d_params[k_]), x))(k) for k in d_params}
 
+        ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg)
+
         def g_loss_fn(gp):
-            fake = nets["G_A"].apply(gp["G_A"], real)
+            fake = ga_apply(gp["G_A"], real)
             g_a_lat = gc.g_gan(gc.probe_proj(kg[0], fake, LAT, depth,
                                              d_frozen["D_A_lateral"]), cfg) * lam_t
             g_a_ax = (gc.g_gan(gc.probe_proj(kg[1], fake, AX1, depth,

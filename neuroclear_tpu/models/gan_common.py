@@ -65,6 +65,7 @@ class GanStepConfig:
     min_projection_depth: int = 2
     beta1: float = 0.1
     precision: str = "float32"  # compute dtype; params/Adam stay f32
+    remat: bool = False  # jax.checkpoint the generators (fit big crops)
 
     @property
     def lambda_norm(self):
@@ -74,6 +75,13 @@ class GanStepConfig:
     @property
     def compute_dtype(self):
         return jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
+
+
+def maybe_remat(apply_fn, cfg):
+    """Wrap a generator apply in jax.checkpoint when cfg.remat — trades
+    recompute for activation memory (e.g. athena at 148^3 crops needs it on
+    16GB chips)."""
+    return jax.checkpoint(apply_fn) if cfg.remat else apply_fn
 
 
 def g_gan(pred, cfg):

@@ -61,6 +61,10 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--nan_check", action="store_true",
                             help="abort (after saving a debug checkpoint) if any loss "
                                  "goes non-finite; checked at --print_freq cadence")
+        parser.add_argument("--remat", action="store_true",
+                            help="rematerialize generator activations in the G step "
+                                 "(fit larger crops, e.g. athena at 148^3, at ~30%% "
+                                 "extra generator FLOPs)")
         parser.add_argument("--watchdog_secs", type=int, default=0,
                             help="exit with code 42 if no training progress for this "
                                  "many seconds (a hung device client can otherwise "
