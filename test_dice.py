@@ -121,10 +121,12 @@ def run_fused(opt, model, dataset_probe):
         precision=opt.precision, out_dtype=out_dtype, orig_shape=orig)
     fake = pipe.run_streaming(np.asarray(vol_padded))
 
+    # 'real' is always assembled (as in the reference, where --skip_real only
+    # gates *saving*, test_dice.py:146-157 — the GT metrics at :241-247 read
+    # img_whole_dict['real'] unconditionally).
     out = {}
-    if not opt.skip_real:
-        real = np.asarray(vol_padded, np.float32) * inv_scale
-        out["real"] = _postprocess(real, opt, dataset_probe.size_original())
+    real = np.asarray(vol_padded, np.float32) * inv_scale
+    out["real"] = _postprocess(real, opt, dataset_probe.size_original())
     out["fake"] = _postprocess(fake, opt, dataset_probe.size_original())
     return out
 
@@ -259,7 +261,7 @@ def compute_gt_metrics(opt, web_dir, img_whole_dict):
     datarange = 2 ** 8 - 1
 
     fake_volume = img_whole_dict["fake"]
-    real_volume = img_whole_dict.get("real", fake_volume)
+    real_volume = img_whole_dict["real"]
 
     # the reference standardises + normalises to uint8 TWICE
     # (test_dice.py:241-247); replicated for metric parity.

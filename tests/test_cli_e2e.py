@@ -72,3 +72,9 @@ def test_train_onecube_and_test_dice_cli(tiny_data, tmp_path):
     out = tiffio.imread(vols[0])
     assert out.shape == (48, 48, 48)
     assert "psnr" in r.stdout
+    # input-vs-GT and output-vs-GT must be computed from *different* volumes
+    # even under --skip_real (regression: the fused path once aliased real to
+    # fake, making the two PSNR lines identical).
+    import re
+    psnrs = re.findall(r"psnr: ([0-9.]+)", r.stdout)
+    assert len(psnrs) >= 2 and psnrs[0] != psnrs[1], r.stdout[-800:]
