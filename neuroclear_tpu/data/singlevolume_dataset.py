@@ -61,6 +61,18 @@ class SingleVolumeDataset(BaseDataset):
     def supports_device_sampling(self) -> bool:
         return self._device_ok
 
+    def device_sampling_config(self) -> dict:
+        """Static kwargs for ops.augment.augment_core on this dataset."""
+        from ..ops.augment import dtype_inv_scale
+
+        return dict(
+            crop_size=tuple(self.opt.crop_size),
+            inv_scale=dtype_inv_scale(self.A_img_np.dtype),
+            do_rotate="random3Drotate" in self._tokens,
+            do_rot90="random90rotate" in self._tokens,
+            do_flip="randomflip" in self._tokens,
+        )
+
     def sample(self, rng):
         """Augmented crop on device -> (1, cz, cy, cx, 1) float32."""
         from ..ops.augment import dtype_inv_scale, fused_augment

@@ -30,11 +30,7 @@ import jax.numpy as jnp
 from .rotation import rotation_geometry
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("crop_size", "inv_scale", "do_rotate", "do_rot90", "do_flip"),
-)
-def fused_augment(
+def augment_core(
     rng: jax.Array,
     vol: jnp.ndarray,
     crop_size: Tuple[int, int, int],
@@ -49,6 +45,9 @@ def fused_augment(
     (base_dataset.py:454), crop offsets ~ U[0, extent-crop] inclusive
     (:195-197), flips: each axis w.p. 1/2 (:279-289, whose shuffled-pop
     scheme is distribution-equal to independent per-axis coin flips).
+
+    Unjitted core, so callers can wrap it (jit / vmap for the data-parallel
+    batched sampler) without nesting jits.
     """
     cz, cy, cx = crop_size
     Z, Y, X = vol.shape
@@ -84,6 +83,32 @@ def fused_augment(
         out = jnp.where(flips[1], out[:, ::-1, :], out)
         out = jnp.where(flips[2], out[:, :, ::-1], out)
     return out
+
+
+fused_augment = jax.jit(
+    augment_core,
+    static_argnames=("crop_size", "inv_scale", "do_rotate", "do_rot90", "do_flip"),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("crop_size", "inv_scale", "do_rotate", "do_rot90", "do_flip"),
+)
+def fused_augment_batch(rngs, vol, crop_size, inv_scale,
+                        do_rotate=True, do_rot90=False, do_flip=True):
+    """(n, 2) keys + (Z, Y, X) volume -> (n, cz, cy, cx, 1) f32 batch.
+
+    One compiled program draws every device's crop; under a 'data'-sharded
+    output each mesh device gathers only its own crop from its (replicated)
+    volume copy — no host round-trips per iteration (the data-parallel
+    replacement for the reference's DataParallel scatter,
+    models/networks.py:132-135)."""
+    out = jax.vmap(
+        lambda k: augment_core(k, vol, crop_size, inv_scale,
+                               do_rotate=do_rotate, do_rot90=do_rot90,
+                               do_flip=do_flip))(rngs)
+    return out[..., None]
 
 
 def sample_rotated_crop(vol, angle, offsets, crop_size, inv_scale, rotate=True):

@@ -33,11 +33,11 @@ class HTML:
             "<table border='1' style='table-layout:fixed'><tr>"
             + "".join(cells) + "</tr></table>")
 
-    def save(self):
+    def save(self, filename: str = "index.html"):
         refresh = (f"<meta http-equiv='refresh' content='{self.refresh}'>"
                    if self.refresh > 0 else "")
         html = (f"<!DOCTYPE html><html><head><title>{self.title}</title>{refresh}"
                 f"</head><body><h1>{self.title}</h1>"
                 + "".join(self.body) + "</body></html>")
-        with open(os.path.join(self.web_dir, "index.html"), "wt") as f:
+        with open(os.path.join(self.web_dir, filename), "wt") as f:
             f.write(html)

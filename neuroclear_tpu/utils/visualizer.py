@@ -138,7 +138,13 @@ class Visualizer:
 
 
 def save_images(webpage, visuals, image_path, aspect_ratio=1.0, width=256):
-    """Per-item HTML gallery writer (util/visualizer.py:21-57)."""
+    """Per-item HTML gallery writer (util/visualizer.py:21-57).
+
+    Accepts [0,1]-float visuals (reference contract) or already-quantised
+    integer images (the tiled-inference outputs) — integers are min-max
+    stretched to uint8 for the PNG thumbnails.  Links are emitted relative
+    to the page so the gallery is portable (the reference wrote absolute
+    paths, which broke when the results dir moved)."""
     import ntpath
 
     image_dir = webpage.get_image_dir()
@@ -148,7 +154,13 @@ def save_images(webpage, visuals, image_path, aspect_ratio=1.0, width=256):
     webpage.add_header(name)
     ims, txts, links = [], [], []
     for label, im_data in visuals.items():
-        image_numpy = np.squeeze(tensor2im(np.asarray(im_data), imtype=np.uint8))
+        arr = np.squeeze(np.asarray(im_data))
+        if np.issubdtype(arr.dtype, np.integer):
+            lo, hi = float(arr.min()), float(arr.max())
+            image_numpy = ((arr.astype(np.float32) - lo)
+                           * (255.0 / max(hi - lo, 1.0))).astype(np.uint8)
+        else:
+            image_numpy = np.squeeze(tensor2im(arr, imtype=np.uint8))
         label_dir = os.path.join(image_dir, label)
         os.makedirs(label_dir, exist_ok=True)
         image_name = f"{name}_{label}.png"
@@ -157,9 +169,10 @@ def save_images(webpage, visuals, image_path, aspect_ratio=1.0, width=256):
 
         Image.fromarray(image_numpy if image_numpy.ndim == 2
                         else image_numpy[image_numpy.shape[0] // 2]).save(save_path)
-        ims.append(save_path)
+        rel = os.path.relpath(save_path, webpage.web_dir)
+        ims.append(rel)
         txts.append(label)
-        links.append(save_path)
+        links.append(rel)
     webpage.add_images(ims, txts, links, width=width)
 
 

@@ -41,6 +41,7 @@ from neuroclear_tpu.options.test_options import TestOptions
 from neuroclear_tpu.parallel.dice_infer import DiceInferencePipeline
 from neuroclear_tpu.utils import html, imageops, tiffio
 from neuroclear_tpu.utils.assemble import Assemble_Dice
+from neuroclear_tpu.utils.visualizer import save_images
 
 
 def main():
@@ -90,10 +91,39 @@ def main():
     print("Image volume re-assembled.")
     print("re-merged image shape: {}".format(img_whole_dict["fake"].shape))
 
-    webpage.save()
+    populate_webpages(opt, web_dir, webpage, img_whole_dict)
     save_outputs(opt, web_dir, img_whole_dict)
     compute_gt_metrics(opt, web_dir, img_whole_dict)
     print("----Test done----")
+
+
+def populate_webpages(opt, web_dir, webpage, img_whole_dict):
+    """Fill the two HTML galleries the reference creates (test_dice.py:92,123)
+    — a per-slice page and a whole-image page — with PNG thumbnails.  (The
+    reference instantiated both pages but never populated or saved them;
+    here they render.)"""
+    fake = img_whole_dict["fake"]
+    real = img_whole_dict.get("real")
+
+    n = fake.shape[0]
+    step = max(1, n // 16)  # ~16 sample slices, any volume size
+    for i in range(0, n, step):
+        visuals = {"output_xy": fake[i]}
+        if real is not None and not opt.skip_real:
+            visuals["input_xy"] = real[i]
+        save_images(webpage, visuals, f"slice_z{i:04d}.tif",
+                    aspect_ratio=opt.aspect_ratio)
+    webpage.save()
+
+    wholepage = html.HTML(web_dir, "Whole_img: Experiment = %s, Phase = %s, "
+                          "Epoch = %s" % (opt.name, opt.phase, opt.epoch))
+    mips = {}
+    for plane, ax in (("xy", 0), ("xz", 1), ("yz", 2)):
+        mips[f"output_{plane}_mip"] = np.amax(fake, axis=ax)
+        if real is not None and not opt.skip_real:
+            mips[f"input_{plane}_mip"] = np.amax(real, axis=ax)
+    save_images(wholepage, mips, "whole_volume.tif", width=384)
+    wholepage.save("index_wholeimg.html")
 
 
 def run_fused(opt, model, dataset_probe):

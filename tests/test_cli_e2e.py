@@ -78,3 +78,13 @@ def test_train_onecube_and_test_dice_cli(tiny_data, tmp_path):
     import re
     psnrs = re.findall(r"psnr: ([0-9.]+)", r.stdout)
     assert len(psnrs) >= 2 and psnrs[0] != psnrs[1], r.stdout[-800:]
+    # the HTML galleries must actually render images (the reference created
+    # both pages but left them empty)
+    pages = {}
+    for root, _, files in os.walk(res):
+        for f in files:
+            if f.endswith(".html"):
+                pages[f] = open(os.path.join(root, f)).read()
+    assert "index.html" in pages and "<img" in pages["index.html"], \
+        list(pages)
+    assert "index_wholeimg.html" in pages and "<img" in pages["index_wholeimg.html"]

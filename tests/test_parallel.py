@@ -47,6 +47,57 @@ def test_data_parallel_apollo_step():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_batched_device_sampler(tmp_path):
+    """batch_sampler draws n crops in one program, emitted 'data'-sharded,
+    and each crop equals the single-sample path under the same key."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from neuroclear_tpu.data.singlevolume_dataset import SingleVolumeDataset
+    from neuroclear_tpu.models.axial_to_lateral_gan_apollo_model import (
+        AxialToLateralGANApolloModel)
+    from neuroclear_tpu.ops.augment import fused_augment
+    from neuroclear_tpu.parallel.train_parallel import DataParallel
+    from neuroclear_tpu.utils import tiffio
+
+    rng = np.random.default_rng(3)
+    tiffio.imwrite(str(tmp_path / "v.tif"),
+                   rng.integers(0, 65535, (32, 32, 32), dtype=np.uint16))
+    opt = _opt(dataroot=str(tmp_path), crop_size=[12, 12, 12],
+               load_size=[0, 0, 0], no_flip=False,
+               max_dataset_size=float("inf"),
+               preprocess="random3Drotate_randomcrop_randomflip"
+                          "_addColorChannel_addBatchChannel")
+    ds = SingleVolumeDataset(opt)
+    assert ds.supports_device_sampling
+
+    m = AxialToLateralGANApolloModel(opt)
+    m.setup(opt)
+    dp = DataParallel(m, n_devices=4)
+    sampler = dp.batch_sampler(ds)
+
+    key = jax.random.PRNGKey(7)
+    batch = sampler(key)
+    assert batch.shape == (4, 12, 12, 12, 1)
+    assert batch.dtype == np.float32
+    # sharded over 'data': each device holds exactly one crop
+    assert not batch.sharding.is_fully_replicated
+    assert batch.sharding.shard_shape(batch.shape)[0] == 1
+
+    # per-crop parity with the single-device path
+    cfg = ds.device_sampling_config()
+    keys = jax.random.split(key, 4)
+    for i in range(4):
+        single = fused_augment(keys[i], ds.device_volume(), **cfg)
+        np.testing.assert_allclose(np.asarray(batch[i, ..., 0]),
+                                   np.asarray(single), rtol=0, atol=1e-6)
+
+    # and the batch drives a full DP train step
+    m.set_input({"A": batch, "A_paths": "x"})
+    m.optimize_parameters()
+    losses = m.get_current_losses()
+    assert all(np.isfinite(v) for v in losses.values()), losses
+
+
 def test_mesh_helpers():
     from neuroclear_tpu.parallel.mesh import device_count, get_mesh
 

@@ -20,9 +20,12 @@ if os.environ.get("JAX_PLATFORMS"):
 from neuroclear_tpu.data import create_dataset
 from neuroclear_tpu.models import create_model
 from neuroclear_tpu.options.train_options import TrainOptions
+from neuroclear_tpu.parallel.train_parallel import (DataParallel,
+                                                    maybe_initialize_distributed)
 from neuroclear_tpu.utils.visualizer import Visualizer
 
 if __name__ == "__main__":
+    maybe_initialize_distributed()
     opt = TrainOptions().parse()
 
     dataset = create_dataset(opt)
@@ -33,6 +36,14 @@ if __name__ == "__main__":
     model.setup(opt)
     visualizer = Visualizer(opt)
     total_iters = 0
+
+    # data-parallel scale-out for the epoch trainer: the loader's real batch
+    # axis is sharded over the mesh (params replicated, gradient all-reduce
+    # over ICI falls out of the partitioner)
+    dp = None
+    if len(jax.devices()) > 1 and opt.batch_size % len(jax.devices()) == 0:
+        dp = DataParallel(model)
+        print(f"data parallel over {dp.n} devices (mesh axis 'data')")
 
     for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + 1):
         epoch_start_time = time.time()
@@ -47,6 +58,8 @@ if __name__ == "__main__":
 
             total_iters += opt.batch_size
             epoch_iter += opt.batch_size
+            if dp is not None:
+                data_i = dict(data_i, A=dp.shard(data_i["A"]))
             model.set_input(data_i)
             model.optimize_parameters()
 

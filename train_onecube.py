@@ -64,8 +64,10 @@ if __name__ == "__main__":
     # data-parallel scale-out: one crop per device per iteration, gradients
     # all-reduced over ICI (replaces the reference's DataParallel)
     dp = None
+    dp_sampler = None
     if len(jax.devices()) > 1 and device_sampling:
         dp = DataParallel(model)
+        dp_sampler = dp.batch_sampler(dataset)
         print(f"data parallel over {dp.n} devices (mesh axis 'data')")
 
     iter_data_time = time.time()
@@ -100,8 +102,8 @@ if __name__ == "__main__":
 
     while True:
         if dp is not None:
-            crops = [dataset.sample(model.next_rng()) for _ in range(dp.n)]
-            data_i = {"A": dp.shard(dp.stack(crops)), "A_paths": dataset.A_path}
+            data_i = {"A": dp_sampler(model.next_rng()),
+                      "A_paths": dataset.A_path}
         elif device_sampling:
             data_i = {"A": dataset.sample(model.next_rng()),
                       "A_paths": dataset.A_path}
