@@ -197,9 +197,12 @@ class InstanceNorm:
 
     Matches the reference's production norm layer exactly
     (models/networks.py:33-34): per-sample, per-channel standardisation over
-    spatial dims with eps=1e-5 and biased variance.  On TPU this dispatches
-    to the fused Pallas kernel (ops/pallas_ops.py) — the naive XLA lowering
-    was ~70% of U-Net forward time.
+    spatial dims with eps=1e-5 and biased variance.  Dispatches to
+    ops/pallas_ops.instance_norm: by default a one-pass-statistics XLA
+    formulation with a custom VJP (the naive lowering materialised f32
+    copies — ~70% of U-Net forward time); a Pallas kernel exists behind
+    NEUROCLEAR_PALLAS=1 but measured slower in-graph (layout round-trips
+    at the kernel boundary) and is opt-in until its layout-aware rewrite.
     """
 
     dim: int

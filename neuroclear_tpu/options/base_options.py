@@ -1,7 +1,8 @@
 """CLI options — flag-compatible with the reference
 (/root/reference/options/base_options.py), including the two-pass parse with
 dynamic flag injection from the chosen model and dataset classes
-(base_options.py:75-101)."""
+(base_options.py:75-101).  Flag names and defaults are the parity contract;
+descriptions are this framework's own."""
 
 from __future__ import annotations
 
@@ -18,84 +19,96 @@ class BaseOptions:
     def initialize(self, parser):
         # basic parameters
         parser.add_argument("--dataroot",
-                            help="path to images (should have subfolders trainA, trainB, valA, valB, etc)")
+                            help="directory containing the input TIFF volume(s)")
         parser.add_argument("--name", type=str, default="experiment_name",
-                            help="name of the experiment. It decides where to store samples and models")
+                            help="experiment tag; checkpoints and results are "
+                                 "filed under this name")
         parser.add_argument("--gpu_ids", type=str, default="0",
                             help="device ids (kept for CLI parity; device placement is "
                                  "managed by JAX). use -1 for CPU")
         parser.add_argument("--checkpoints_dir", type=str, default="./checkpoints",
-                            help="models are saved here")
+                            help="root directory for model checkpoints")
         parser.add_argument("--add_date", action="store_true",
-                            help="Add the run date to the name. ")
+                            help="prefix the experiment name with a YYYYmmdd-HHMM stamp")
         parser.add_argument("--image_dimension", default=3, type=int,
-                            help="dimension of the image: e.g. 3D or 2D")
+                            help="spatial rank of the data (3 for volumes, 2 for images)")
         parser.add_argument("--server", type=str, default="not-specified",
-                            help="specify which server you ran the script on.")
+                            help="free-form label recording which machine ran this")
         # model parameters
         parser.add_argument("--model", type=str, default="cycle_gan",
-                            help="chooses which model to use. [axial_to_lateral_gan_apollo | "
-                                 "axial_to_lateral_gan_athena | axial_to_lateral_gan_dryops | test]")
+                            help="model class to train/evaluate "
+                                 "[axial_to_lateral_gan_apollo | "
+                                 "axial_to_lateral_gan_athena | "
+                                 "axial_to_lateral_gan_dryops | test]")
         parser.add_argument("--input_nc", type=int, default=1,
-                            help="# of input image channels: 3 for RGB and 1 for grayscale")
+                            help="channels in the network input (1 for the "
+                                 "grayscale microscopy volumes)")
         parser.add_argument("--output_nc", type=int, default=1,
-                            help="# of output image channels: 3 for RGB and 1 for grayscale")
+                            help="channels in the network output")
         parser.add_argument("--ngf", type=int, default=64,
-                            help="# of gen filters in the last conv layer")
+                            help="base channel width of the generator")
         parser.add_argument("--ndf", type=int, default=64,
-                            help="# of discrim filters in the first conv layer")
+                            help="base channel width of the discriminator")
         parser.add_argument("--netD", type=str, default="basic",
-                            help="specify discriminator architecture [basic | n_layers | pixel]. ")
+                            help="discriminator variant [basic | basic_SN | n_layers | "
+                                 "n_layers_SN | pixel | kernelGAN]")
         parser.add_argument("--netG", type=str, default="unet_deconv",
-                            help="specify generator architecture")
+                            help="generator variant (see nn/factory.py for the "
+                                 "12 registered names)")
         parser.add_argument("--n_layers_D", type=int, default=3,
-                            help="only used if netD==n_layers")
+                            help="conv depth when netD is the n_layers PatchGAN")
         parser.add_argument("--norm", type=str, default="instance",
-                            help="instance normalization or batch normalization "
+                            help="normalisation layer in the networks "
                                  "[instance | batch | spectral | none]")
         parser.add_argument("--init_type", type=str, default="normal",
-                            help="network initialization [normal | xavier | kaiming | orthogonal]")
+                            help="weight init scheme [normal | xavier | kaiming | orthogonal]")
         parser.add_argument("--init_gain", type=float, default=0.02,
-                            help="scaling factor for normal, xavier and orthogonal.")
+                            help="gain/std used by the normal, xavier and orthogonal inits")
         parser.add_argument("--no_dropout", action="store_true",
-                            help="no dropout for the generator.")
+                            help="build the generator without dropout")
         # dataset parameters
         parser.add_argument("--dataset_mode", type=str, default="braincube",
-                            help="chooses how datasets are loaded. [singlevolume | cube | "
-                                 "diceImage | simulationcrop]")
-        parser.add_argument("--direction", type=str, default="AtoB", help="AtoB or BtoA")
+                            help="dataset class to read volumes with [singlevolume | "
+                                 "cube | diceImage | simulationcrop]")
+        parser.add_argument("--direction", type=str, default="AtoB",
+                            help="mapping direction, AtoB or BtoA")
         parser.add_argument("--serial_batches", action="store_true",
-                            help="if true, takes images in order to make batches, "
-                                 "otherwise takes them randomly")
+                            help="iterate the dataset in file order instead of shuffling")
         parser.add_argument("--num_threads", default=8, type=int,
-                            help="# threads for loading data")
+                            help="host worker threads for the data loader")
         parser.add_argument("--no_pin_memory", action="store_true",
-                            help="do not pin memory in dataloader")
-        parser.add_argument("--batch_size", type=int, default=1, help="input batch size")
+                            help="disable pinned staging buffers in the loader")
+        parser.add_argument("--batch_size", type=int, default=1,
+                            help="samples per training step")
         parser.add_argument("--load_size", type=int, default=286,
-                            help="scale images to this size")
+                            help="resize target applied before cropping (when the "
+                                 "preprocess chain asks for it)")
         parser.add_argument("--crop_size", type=int, nargs="+", default=[0, 0, 0],
-                            help="crop to this size. e.g. y x z")
+                            help="training crop extent per axis (z y x); 0 keeps "
+                                 "the full axis")
         parser.add_argument("--dice_size", type=int, nargs="+", default=[0, 0, 0],
-                            help="dice to this size (for inference). e.g. y x z")
+                            help="tile extent per axis (z y x) for tiled inference")
         parser.add_argument("--max_dataset_size", type=int, default=float("inf"),
-                            help="Maximum number of samples allowed per dataset.")
+                            help="cap on the number of samples drawn from the dataset")
         parser.add_argument("--preprocess", type=str, default="none",
-                            help="[randomcrop | randomrotate | randomflip | normalize | none]")
+                            help="underscore-joined augmentation chain, e.g. "
+                                 "random3Drotate_randomcrop_randomflip_"
+                                 "addColorChannel_addBatchChannel")
         parser.add_argument("--display_winsize", type=int, default=256,
-                            help="display window size for both visdom and HTML")
+                            help="pixel size of images in the HTML/TB displays")
         parser.add_argument("--display_histogram", action="store_true",
-                            help="display histograms of images in tensorboard.")
+                            help="log intensity histograms of the visuals to tensorboard")
         # additional parameters
         parser.add_argument("--epoch", type=str, default="latest",
-                            help="which epoch to load? set to latest to use latest cached model")
+                            help="checkpoint suffix to load ('latest' or an epoch number)")
         parser.add_argument("--load_iter", type=int, default=0,
-                            help="which iteration to load? if load_iter > 0, the code will "
-                                 "load models by iter_[load_iter]; otherwise by [epoch]")
+                            help="when > 0, load the iter_<N> checkpoint instead of "
+                                 "the one named by --epoch")
         parser.add_argument("--verbose", action="store_true",
-                            help="if specified, print more debugging information")
+                            help="print network architectures and extra diagnostics")
         parser.add_argument("--suffix", default="", type=str,
-                            help="customized suffix: opt.name = opt.name + suffix")
+                            help="template appended to the name, formatted from the "
+                                 "parsed options (e.g. '{netG}_{crop_size}')")
         parser.add_argument("--debug", action="store_true",
                             help="start a jax.profiler server for remote debugging "
                                  "(replaces the reference's pydevd hook)")

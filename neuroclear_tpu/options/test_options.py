@@ -9,51 +9,55 @@ class TestOptions(BaseOptions):
     def initialize(self, parser):
         parser = BaseOptions.initialize(self, parser)
         parser.add_argument("--dataroot_gt",
-                            help="path to ground-truth images for comparison")
+                            help="directory with the ground-truth volume for PSNR/SSIM")
         parser.add_argument("--ntest", type=int, default=float("inf"),
-                            help="# of test examples.")
+                            help="cap on test items iterated (kept for CLI parity)")
         parser.add_argument("--results_dir", type=str, default="./results/",
-                            help="saves results here.")
+                            help="root directory for inference outputs")
         parser.add_argument("--aspect_ratio", type=float, default=1.0,
-                            help="aspect ratio of result images")
+                            help="aspect ratio applied to saved result images")
         parser.add_argument("--phase", type=str, default="test",
-                            help="train, val, test, etc")
+                            help="run phase label; selects the *_opt.txt filename")
         parser.add_argument("--eval", action="store_true",
-                            help="use eval mode during test time.")
+                            help="run the networks in eval mode (batch-norm uses running stats)")
         parser.add_argument("--num_test", type=int, default=3000,
-                            help="how many test images to run")
+                            help="number of test items to process (kept for CLI parity)")
         parser.add_argument("--data_name", type=str, default=None,
-                            help="the name of the dataset that you run inference on.")
+                            help="dataset label used to compose the results folder name")
         parser.add_argument("--data_type", type=str, default="uint16",
-                            help="specify the data type for the output.")
+                            help="output volume dtype: uint16 or uint8")
         parser.add_argument("--histogram_match", action="store_true", default=False,
-                            help="Do histogram matching with an input sub-volume after inference.")
+                            help="match each output tile's histogram to its input tile (forces the per-cube host pipeline)")
         parser.add_argument("--normalize_intensity", action="store_true", default=False,
-                            help="Perform intensity normalization after inference based on histogram.")
+                            help="percentile-rescale the assembled volume (see --sat_level)")
         parser.add_argument("--sat_level", type=float, nargs="+", default=[0.25, 99.75],
-                            help="Set saturation levels for intensity normalization.")
+                            help="low/high percentile saturations for --normalize_intensity")
         parser.add_argument("--background_threshold", type=float, nargs="+",
                             default=[None, None],
-                            help="Set the threshold for the background")
+                            help="background threshold pair (parsed for parity; the reference never wires it either, test_dice.py:229)")
         parser.add_argument("--reference_slice_range", type=int, nargs="+",
                             default=[None, None],
-                            help="Set the slice range for calculating metrics.")
+                            help="slice range for metrics (parsed for parity; unwired, as in the reference)")
         parser.add_argument("--save_slices", action="store_true",
-                            help="save sliced images (in 2D). ")
+                            help="write every 2D slice of the result as TIFF")
         parser.add_argument("--save_volume", action="store_true",
-                            help="save image volumes (in 3D). ")
+                            help="write the assembled 3D volume as TIFF")
         parser.add_argument("--save_projections", action="store_true",
-                            help="save MIP images (in 2D). ")
+                            help="write max-intensity projections of the result")
         parser.add_argument("--compare_with_gt", action="store_true",
-                            help="load the Ground-truth and compute metrics. ")
+                            help="parsed for parity; metrics are gated on --dataroot_gt (as in the reference, test_dice.py:229)")
         parser.add_argument("--repetition", action="store_true",
-                            help="use redundancy in inference to reduce the output variations. ")
+                            help="flip-TTA: infer flipped copies of each tile and average")
         parser.add_argument("--skip_real", action="store_true",
-                            help="Skip saving input image files. ")
+                            help="do not save the input volume/slices (metrics still use them)")
         # TPU-native extension: tile batch size for the device pipeline
         parser.add_argument("--tile_batch", type=int, default=2,
                             help="number of dice tiles per device batch during inference")
         parser.set_defaults(model="test")
         parser.set_defaults(load_size=parser.get_default("crop_size"))
+        # Inference defaults to bf16: output parity with f32 measured at
+        # 69.3 dB PSNR (docs/PERFORMANCE.md) at ~8x less wall-clock —
+        # f32 requests Precision.HIGHEST (torch-parity multi-pass MXU).
+        parser.set_defaults(precision="bfloat16")
         self.isTrain = False
         return parser

@@ -10,51 +10,51 @@ class TrainOptions(BaseOptions):
         parser = BaseOptions.initialize(self, parser)
         # display parameters
         parser.add_argument("--display_freq", type=int, default=100,
-                            help="frequency of showing training results on screen")
+                            help="iterations between tensorboard figure refreshes")
         parser.add_argument("--display_ncols", type=int, default=4,
-                            help="if positive, display all images in a single web panel")
+                            help="columns in the consolidated web image panel (when positive)")
         parser.add_argument("--display_id", type=int, default=1,
-                            help="window id of the web display")
+                            help="display window id; <= 0 disables the loss plots")
         parser.add_argument("--display_server", type=str, default="http://localhost",
-                            help="visdom server of the web display")
+                            help="visdom host (kept for CLI parity; unused by the TB sink)")
         parser.add_argument("--display_env", type=str, default="main",
-                            help="visdom display environment name")
+                            help="visdom environment (kept for CLI parity)")
         parser.add_argument("--display_port", type=int, default=8097,
-                            help="visdom port of the web display")
+                            help="visdom port (kept for CLI parity)")
         parser.add_argument("--update_html_freq", type=int, default=1000,
-                            help="frequency of saving training results to html")
+                            help="iterations between HTML snapshot refreshes")
         parser.add_argument("--print_freq", type=int, default=500,
-                            help="frequency of showing training results on console")
+                            help="iterations between console loss lines (also the device sync point)")
         parser.add_argument("--no_html", action="store_true",
-                            help="do not save intermediate training results")
+                            help="skip writing intermediate visual snapshots")
         # network saving and loading parameters
         parser.add_argument("--save_latest_freq", type=int, default=500,
-                            help="frequency of saving the latest results")
+                            help="iterations between checkpoint writes")
         parser.add_argument("--save_epoch_freq", type=int, default=10,
-                            help="frequency of saving checkpoints at the end of epochs")
+                            help="epochs between end-of-epoch checkpoint writes (train.py)")
         parser.add_argument("--save_by_iter", action="store_true",
-                            help="whether saves model by iteration")
+                            help="name periodic checkpoints iter_<N> instead of overwriting 'latest'")
         parser.add_argument("--continue_train", action="store_true",
-                            help="continue training: load the latest model")
+                            help="resume from an existing checkpoint (with --epoch/--load_iter)")
         parser.add_argument("--epoch_count", type=int, default=1,
-                            help="the starting epoch count")
+                            help="epoch number to resume counting from")
         parser.add_argument("--phase", type=str, default="train",
-                            help="train, val, test, etc")
+                            help="run phase label (train/val/test); selects the *_opt.txt filename")
         # training parameters
         parser.add_argument("--n_epochs", type=int, default=50000000,
-                            help="number of epochs with the initial learning rate")
+                            help="epochs at the initial learning rate before decay starts")
         parser.add_argument("--n_epochs_decay", type=int, default=100,
-                            help="number of epochs to linearly decay learning rate to zero")
+                            help="epochs over which the linear policy anneals the rate to zero")
         parser.add_argument("--beta1", type=float, default=0.1,
-                            help="momentum term of adam")
+                            help="Adam beta1 (the reference trains GANs at 0.1)")
         parser.add_argument("--lr", type=float, default=0.0001,
-                            help="initial learning rate for adam")
+                            help="Adam step size")
         parser.add_argument("--momentum", type=float, default=0.9,
-                            help="momentum term for SGD.")
+                            help="SGD momentum (only for optimizers that use it)")
         parser.add_argument("--lr_policy", type=str, default="linear",
-                            help="learning rate policy. [linear | step | plateau | cosine]")
+                            help="rate schedule [linear | constant | step | plateau | cosine]")
         parser.add_argument("--lr_decay_iters", type=int, default=50,
-                            help="multiply by a gamma every lr_decay_iters iterations")
+                            help="period (in epochs) of the step policy's 0.1x decay")
         # TPU-native extensions
         parser.add_argument("--max_iters", type=int, default=0,
                             help="stop train_onecube after this many iterations (0 = infinite)")

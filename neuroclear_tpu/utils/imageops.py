@@ -8,6 +8,7 @@ in this image, so those are implemented here.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -153,3 +154,54 @@ def crop_for_dicing(image: np.ndarray, roi_size: int, overlap: int = 0) -> np.nd
         counts = (dim - overlap) // step
         crops.append(dim - step * counts - overlap)
     return image[crops[0]:, crops[1]:, crops[2]:]
+
+
+def diagnose_network(params_or_grads, name="network"):
+    """Print the mean of per-leaf mean-|value| over a gradient pytree
+    (util/util.py:121-137 — there: mean |grad| over torch parameters;
+    here the caller passes the grad pytree from the fused step)."""
+    import jax
+
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(params_or_grads)]
+    mean = 0.0
+    count = 0
+    for leaf in leaves:
+        mean += float(np.mean(np.abs(leaf)))
+        count += 1
+    if count > 0:
+        mean = mean / count
+    print(name)
+    print(mean)
+    return mean
+
+
+def save_image(image_numpy, image_path, aspect_ratio=1.0, save_all=False):
+    """PIL single-image writer (util/util.py:140-154)."""
+    from PIL import Image
+
+    Image.fromarray(image_numpy).save(image_path, save_all=save_all)
+
+
+def print_numpy(x, val=True, shp=False):
+    """Array summary printer (util/util.py:157-170)."""
+    x = np.asarray(x).astype(np.float64)
+    if shp:
+        print("shape,", x.shape)
+    if val:
+        x = x.flatten()
+        print("mean = %3.3f, min = %3.3f, max = %3.3f, median = %3.3f, std=%3.3f"
+              % (np.mean(x), np.min(x), np.max(x), np.median(x), np.std(x)))
+
+
+def mkdirs(paths):
+    """Create directories for a path or list of paths (util/util.py:173-185)."""
+    if isinstance(paths, list) and not isinstance(paths, str):
+        for path in paths:
+            mkdir(path)
+    else:
+        mkdir(paths)
+
+
+def mkdir(path):
+    """Create a single directory if missing (util/util.py:188-193)."""
+    os.makedirs(path, exist_ok=True)

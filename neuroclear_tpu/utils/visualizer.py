@@ -71,6 +71,9 @@ class Visualizer:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        if getattr(self.opt, "model", "") == "classifier":
+            self._display_classifier_results(visuals, epoch, plt)
+            return
         for label, image in visuals.items():
             vol = tensor2im(_to_b1zyx(image), imtype=np.uint8)
             mid = vol.shape[0] // 2
@@ -96,6 +99,29 @@ class Visualizer:
 
             self.tb_writer.add_figure("train_slice_images/" + label, fig_slice, epoch)
             self.tb_writer.add_figure("train_mip_images/" + label, fig_mip, epoch)
+
+    def _display_classifier_results(self, visuals, epoch, plt):
+        """Classifier display branch (util/visualizer.py:203-231): softmax /
+        GT-label visuals render as an Axial/Lateral text card; everything
+        else as a grayscale slice.  Used by the --netG VGG axial-vs-lateral
+        classification experiments."""
+        for label, image in visuals.items():
+            arr = np.asarray(image)
+            if label in ("output_tr_softmax", "output_val_softmax", "label_GT"):
+                predicted = int(np.argmax(arr[0]))
+                label_print_str = "Axial" if predicted == 0 else "Lateral"
+                fig = plt.figure()
+                plt.text(0.1, 0.4, label_print_str, size=60,
+                         bbox=dict(boxstyle="square", ec=(1.0, 0.5, 0.5),
+                                   fc=(1.0, 0.8, 0.8)))
+                plt.close(fig)
+            else:
+                img_np = np.squeeze(tensor2im(arr[0], imtype=np.uint8))
+                fig = plt.figure()
+                plt.imshow(img_np if img_np.ndim == 2
+                           else img_np[img_np.shape[0] // 2], cmap="gray")
+                plt.close(fig)
+            self.tb_writer.add_figure("train_images/" + label, fig, epoch)
 
     def display_model_hyperparameters(self):
         if self.tb_writer is None:

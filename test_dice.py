@@ -57,6 +57,11 @@ def main():
     opt.no_flip = True
     opt.display_id = -1
 
+    if opt.precision == "float32":
+        print("note: --precision float32 requests HIGHEST-precision convs "
+              "(torch parity) at ~8x the wall-clock of the default bfloat16 "
+              "(bf16/f32 output parity: 69.3 dB PSNR)")
+
     dataset_class = data.find_dataset_using_name(opt.dataset_mode)
     dataset_probe = dataset_class(opt)
     dataset_size_original = dataset_probe.size_original()
