@@ -175,8 +175,13 @@ class BaseModel(ABC):
         if state is None:
             return
         flat, _ = jax.tree_util.tree_flatten(_gather_tree(state))
-        _atomic_savez(os.path.join(self.save_dir, f"{epoch}_optim.npz"),
-                      {str(i): np.asarray(x) for i, x in enumerate(flat)})
+        arrays = {str(i): np.asarray(x) for i, x in enumerate(flat)}
+        # LR-schedule position travels with the optimizer state (the
+        # reference rebuilt schedulers from --epoch_count/--load_iter only,
+        # resetting linear decay and losing plateau state on resume)
+        for i, c in enumerate(self.lr_controllers):
+            arrays[f"__lr{i}__"] = np.asarray(c.state(), np.float64)
+        _atomic_savez(os.path.join(self.save_dir, f"{epoch}_optim.npz"), arrays)
 
     def _load_optim(self, epoch):
         path = os.path.join(self.save_dir, f"{epoch}_optim.npz")
@@ -184,8 +189,13 @@ class BaseModel(ABC):
         if state is None or not os.path.exists(path):
             return
         data = np.load(path)
+        for i, c in enumerate(self.lr_controllers):
+            key = f"__lr{i}__"
+            if key in data.files:
+                c.restore(data[key])
+        files = [f for f in data.files if not f.startswith("__lr")]
         flat, treedef = jax.tree_util.tree_flatten(state)
-        if len(data.files) != len(flat):
+        if len(files) != len(flat):
             print(f"optimizer state at {path} does not match; skipping")
             return
         new_flat = [jax.numpy.asarray(data[str(i)]) for i in range(len(flat))]

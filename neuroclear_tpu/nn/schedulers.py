@@ -43,6 +43,19 @@ class LRController:
         raise NotImplementedError(
             f"learning rate policy [{self.policy}] is not implemented")
 
+    def state(self):
+        """Schedule position as a flat float vector (checkpointed alongside
+        the optimizer state so resume continues the lr trajectory)."""
+        return [float(self.count), float(self._best), float(self._bad),
+                float(self._plateau_scale)]
+
+    def restore(self, vec) -> None:
+        self.count = int(vec[0])
+        self._best = float(vec[1])
+        self._bad = int(vec[2])
+        self._plateau_scale = float(vec[3])
+        self.scale = self._compute(self.count)
+
     def step(self, metric: float = 0.0) -> float:
         self.count += 1
         if self.policy == "plateau":

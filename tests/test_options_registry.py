@@ -95,6 +95,79 @@ def test_lr_policies():
     assert abs(c.scale - 0.2) < 1e-9
 
 
+def test_lr_resume_continues_schedule():
+    """Controller state round-trips through state()/restore(): resuming
+    mid-linear-decay and mid-plateau continues the lr scale instead of
+    resetting (the reference rebuilt schedulers from --epoch_count only,
+    models/base_model.py:81-92)."""
+    import argparse
+
+    base = dict(n_epochs=10, n_epochs_decay=10, epoch_count=1, lr_decay_iters=5)
+    opt = argparse.Namespace(**base)
+
+    # linear: advance past the decay knee, snapshot, restore into a fresh one
+    c = LRController("linear", opt)
+    for _ in range(15):
+        c.step()
+    assert c.scale < 1.0
+    fresh = LRController("linear", opt)
+    assert fresh.scale == 1.0  # without restore, the position resets
+    fresh.restore(c.state())
+    assert fresh.scale == c.scale
+    assert fresh.step() == c.step()  # and continues in lockstep
+
+    # plateau: decay once, snapshot mid-patience, restore, keep counting
+    c = LRController("plateau", opt)
+    c.step(1.0)
+    for _ in range(6):
+        c.step(1.0)
+    assert abs(c.scale - 0.2) < 1e-9
+    c.step(1.0); c.step(1.0)  # 2 bad epochs into the next patience window
+    fresh = LRController("plateau", opt)
+    fresh.restore(c.state())
+    assert abs(fresh.scale - 0.2) < 1e-9
+    for f in (c, fresh):
+        for _ in range(4):  # 4 more bad epochs -> 6 > patience -> decay
+            f.step(1.0)
+    assert abs(fresh.scale - 0.04) < 1e-9
+    assert fresh.scale == c.scale
+
+
+def test_lr_state_in_optim_checkpoint(tmp_path):
+    """save_networks/load_networks persist and restore the lr position."""
+    import argparse
+
+    from neuroclear_tpu.models.axial_to_lateral_gan_dryops_model import (
+        AxialToLateralGANDryopsModel)
+
+    def mkopt(ck, cont=False):
+        return argparse.Namespace(
+            isTrain=True, image_dimension=3, checkpoints_dir=str(ck),
+            name="lrck", gpu_ids=[], input_nc=1, output_nc=1, ngf=8, ndf=8,
+            netG="linearkernel", netD="pixel", n_layers_D=3, norm="instance",
+            init_type="normal", init_gain=0.02, no_dropout=True,
+            gan_mode="lsgan", lambda_A=5.0, lambda_plane=[1, 1, 1],
+            randomize_projection_depth=False, projection_depth=4,
+            min_projection_depth=2, beta1=0.1, lr=1e-3, direction="AtoB",
+            lr_policy="linear", n_epochs=5, n_epochs_decay=10, epoch_count=1,
+            lr_decay_iters=5, continue_train=cont,
+            load_iter=8 if cont else 0, epoch="latest", verbose=False, seed=0)
+
+    opt = mkopt(tmp_path)
+    m = AxialToLateralGANDryopsModel(opt)
+    m.setup(opt)
+    for _ in range(8):
+        m.update_learning_rate()
+    scale_before = m.lr_scale
+    assert scale_before < 1.0
+    m.save_networks("iter_8")
+
+    opt2 = mkopt(tmp_path, cont=True)
+    m2 = AxialToLateralGANDryopsModel(opt2)
+    m2.setup(opt2)
+    assert m2.lr_scale == scale_before
+
+
 def test_param_flatten_roundtrip():
     tree = {"a": {"b": jnp.ones((2, 3)), "c": jnp.zeros((4,))},
             "d": jnp.full((5,), 2.0)}
