@@ -122,6 +122,7 @@ class AxialToLateralGANApolloModel(BaseModel):
         self._losses = losses
         self._visuals.update({"fake": fake, "rec": rec})
         self.fake, self.rec = fake, rec
+        self.refresh_norm_stats()
 
 
 def _to_ndhwc(x):

@@ -121,6 +121,7 @@ class AxialToLateralGANAthenaModel(BaseModel):
         self._losses = losses
         self._visuals.update({"fake": fake, "rec": rec})
         self.fake, self.rec = fake, rec
+        self.refresh_norm_stats()
 
 
 def make_athena_step(nets, optim, cfg, axes):

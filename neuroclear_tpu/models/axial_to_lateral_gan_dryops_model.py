@@ -93,6 +93,7 @@ class AxialToLateralGANDryopsModel(BaseModel):
         self._losses = losses
         self._visuals["fake"] = fake
         self.fake = fake
+        self.refresh_norm_stats()
 
 
 def make_dryops_step(nets, optim, cfg):

@@ -119,8 +119,58 @@ class BaseModel(ABC):
         self.print_networks(getattr(opt, "verbose", False))
 
     def eval(self):
-        """No train/eval mode split: the zoo has no dropout in shipped
-        configs and instance norm is stateless (kept for API parity)."""
+        """Switch norm layers to eval semantics.  Instance norm is stateless
+        (affine=False in the reference's production configs) so this only
+        changes '--norm batch' nets, which then normalise with their
+        checkpointed running statistics (torch eval() parity)."""
+        self._eval_mode = True
+
+    def refresh_norm_stats(self):
+        """EMA-refresh batch-norm running buffers from the current input.
+
+        The reference's torch BatchNorm updates running stats on every train
+        forward; here one dedicated jitted generator pass per training step
+        collects the batch statistics and applies the torch EMA (momentum
+        0.1).  No-op unless the model was built with --norm batch."""
+        if getattr(self.opt, "norm", "instance") != "batch":
+            return
+        real = getattr(self, "real", None)
+        if real is None:
+            return
+        if getattr(self, "_stats_fn", None) is None:
+            from ..nn import norms
+
+            g_names = [n for n in self.model_names
+                       if n.startswith("G") and n in self.nets]
+
+            def _refresh(params, x):
+                new = dict(params)
+                inp = x
+                for n in g_names:
+                    with norms.collect_batch_stats() as stats:
+                        out = self.nets[n].apply(params[n], inp)
+                    pairs = norms.ema_update_stats(stats)
+                    mapping = {id(s[0]): pair for s, pair in zip(stats, pairs)}
+
+                    def write_back(node):
+                        if isinstance(node, dict):
+                            res = {k: write_back(v) for k, v in node.items()}
+                            if id(node) in mapping:
+                                rm, rv = mapping[id(node)]
+                                res["running_mean"] = rm
+                                res["running_var"] = rv
+                            return res
+                        return node
+
+                    new[n] = write_back(params[n])
+                    inp = out
+                return new
+
+            self._stats_fn = jax.jit(_refresh)
+            self._stats_g_names = g_names
+        updated = self._stats_fn(
+            {n: self.params[n] for n in self._stats_g_names}, real)
+        self.params.update(updated)
 
     def test(self):
         self.forward()

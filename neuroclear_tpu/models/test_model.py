@@ -39,7 +39,16 @@ class TestModel(BaseModel):
         self._visuals["real"] = self.real
 
     def forward(self):
-        self.fake = self._fwd(self.params[self.model_names[0]], self.real)
+        if getattr(self, "_eval_mode", False):
+            # trace under eval semantics: --norm batch nets then use their
+            # checkpointed running statistics (torch --eval parity)
+            from ..nn.norms import eval_mode
+
+            with eval_mode():
+                self.fake = self._fwd(self.params[self.model_names[0]],
+                                      self.real)
+        else:
+            self.fake = self._fwd(self.params[self.model_names[0]], self.real)
         self._visuals["fake"] = self.fake
 
     def optimize_parameters(self):

@@ -154,7 +154,15 @@ def run_fused(opt, model, dataset_probe):
         g_apply, params, dataset_probe.cube.grid, inv_scale,
         tile_batch=opt.tile_batch, repetition=opt.repetition,
         precision=opt.precision, out_dtype=out_dtype, orig_shape=orig)
-    fake = pipe.run_streaming(np.asarray(vol_padded))
+    if opt.eval:
+        # trace the pipeline under eval semantics (--norm batch nets use
+        # running stats; a no-op for the stateless instance norm)
+        from neuroclear_tpu.nn.norms import eval_mode
+
+        with eval_mode():
+            fake = pipe.run_streaming(np.asarray(vol_padded))
+    else:
+        fake = pipe.run_streaming(np.asarray(vol_padded))
 
     # 'real' is always assembled (as in the reference, where --skip_real only
     # gates *saving*, test_dice.py:146-157 — the GT metrics at :241-247 read

@@ -97,3 +97,95 @@ def test_unet_twoouts():
     y1, y2 = g.apply(p, jnp.zeros((1, 16, 16, 16, 1)))
     assert y1.shape == (1, 16, 16, 16, 1)
     assert y2.shape == (1, 16, 16, 16, 1)
+
+
+def test_batch_norm_running_stats():
+    """--norm batch: torch BatchNorm semantics — batch stats in train,
+    running stats in eval, EMA buffer refresh (VERDICT missing item 5)."""
+    import jax
+    import numpy as np
+
+    from neuroclear_tpu.nn import norms
+
+    ns = norms.get_norm_spec("batch", 3)
+    key = jax.random.PRNGKey(0)
+    p = ns.init(key, 4)
+    assert set(p) == {"scale", "offset", "running_mean", "running_var"}
+
+    rng = np.random.default_rng(0)
+    x = (rng.normal(2.0, 3.0, (2, 5, 5, 5, 4))).astype(np.float32)
+
+    # train mode: normalised with batch stats -> ~zero mean/unit var before
+    # the affine transform; running buffers unused
+    y = np.asarray(ns.apply(p, x, train=True))
+    pre = (y - np.asarray(p["offset"])) / np.asarray(p["scale"])
+    assert abs(pre.mean()) < 1e-3 and abs(pre.std() - 1.0) < 1e-2
+
+    # eval mode uses the running buffers (initially mean 0 / var 1 -> the
+    # affine transform of x itself)
+    y_eval = np.asarray(ns.apply(p, x, train=False))
+    expect = x * np.asarray(p["scale"]) + np.asarray(p["offset"])
+    np.testing.assert_allclose(y_eval, expect, rtol=1e-4, atol=1e-4)
+
+    # trace-time eval context flips train-mode calls to running stats
+    with norms.eval_mode():
+        y_ctx = np.asarray(ns.apply(p, x, train=True))
+    np.testing.assert_allclose(y_ctx, y_eval, rtol=1e-6, atol=1e-6)
+
+    # collector + torch EMA: running = 0.9 * running + 0.1 * batch
+    with norms.collect_batch_stats() as stats:
+        ns.apply(p, x, train=True)
+    (rm, rv), = norms.ema_update_stats(stats)
+    bm = x.astype(np.float64).mean(axis=(0, 1, 2, 3))
+    bv = x.astype(np.float64).var(axis=(0, 1, 2, 3))
+    np.testing.assert_allclose(np.asarray(rm), 0.1 * bm, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rv), 0.9 + 0.1 * bv, rtol=1e-4)
+
+
+def test_batch_norm_refresh_in_train_step():
+    """A --norm batch model's training step refreshes the generator running
+    buffers (so --eval inference has real statistics to use)."""
+    import argparse
+
+    import jax
+    import numpy as np
+
+    from neuroclear_tpu.models.axial_to_lateral_gan_dryops_model import (
+        AxialToLateralGANDryopsModel)
+
+    opt = argparse.Namespace(
+        isTrain=True, image_dimension=3, checkpoints_dir="/tmp/test_ck",
+        name="bn", gpu_ids=[], input_nc=1, output_nc=1, ngf=8, ndf=8,
+        netG="unet_vanilla", netD="pixel", n_layers_D=3, norm="batch",
+        init_type="normal", init_gain=0.02, no_dropout=True,
+        gan_mode="lsgan", lambda_A=5.0, lambda_plane=[1, 1, 1],
+        randomize_projection_depth=False, projection_depth=4,
+        min_projection_depth=2, beta1=0.1, lr=1e-3, direction="AtoB",
+        lr_policy="constant", n_epochs=10, n_epochs_decay=10, epoch_count=1,
+        lr_decay_iters=5, continue_train=False, load_iter=0, epoch="latest",
+        verbose=False, seed=0)
+    m = AxialToLateralGANDryopsModel(opt)
+    m.setup(opt)
+
+    def first_buffer(params):
+        leaves = {}
+
+        def walk(node, path):
+            if isinstance(node, dict):
+                if "running_mean" in node:
+                    leaves[path] = np.asarray(node["running_mean"])
+                for k in sorted(node):
+                    walk(node[k], path + "/" + k)
+
+        walk(params, "")
+        return leaves
+
+    before = first_buffer(m.params["G_A"])
+    assert before, "batch-norm buffers missing from params"
+    x = np.random.default_rng(0).random((1, 16, 16, 16, 1)).astype(np.float32)
+    m.set_input({"A": x, "A_paths": "x"})
+    m.optimize_parameters()
+    after = first_buffer(m.params["G_A"])
+    assert set(before) == set(after)
+    changed = any(not np.allclose(before[k], after[k]) for k in before)
+    assert changed, "running stats were not refreshed by the train step"
