@@ -124,6 +124,20 @@ class Conv:
         return p
 
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        # bf16 3x3x3 stride-1 convs with lane-width channels dispatch to the
+        # Pallas dense-K kernel (~2x the XLA emitter on 64-ch layers; see
+        # ops/pallas_conv.py).  f32 keeps the HIGHEST-precision XLA path
+        # (torch parity contract).
+        if (self.dim == 3 and self.k == 3 and self.stride == 1
+                and self.pad == 1 and x.dtype == jnp.bfloat16):
+            from ..ops import pallas_conv as pc
+
+            wshape = (3, 3, 3, self.in_c, self.out_c)
+            if pc.supported(x.shape, wshape, (1, 1, 1), "SAME", (1, 1, 1)):
+                y = pc.conv3d_3x3(x, params["w"].astype(x.dtype))
+                if self.bias:
+                    y = y + params["b"].astype(y.dtype)
+                return y
         y = jax.lax.conv_general_dilated(
             x,
             params["w"].astype(x.dtype),

@@ -102,3 +102,57 @@ def test_init_statistics():
     w = _np(init_weight(key, (2, 2, 3, 8), "orthogonal", 1.0))
     m = w.reshape(-1, 8).T  # (out, rest)
     np.testing.assert_allclose(m @ m.T, np.eye(8), atol=1e-4)
+
+
+def test_pallas_conv3d_parity():
+    """Pallas dense-K conv kernel vs lax.conv_general_dilated (VERDICT #2
+    'covered by a parity test'): forward + both VJPs, interpret mode."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    os.environ["NEUROCLEAR_PALLAS_INTERPRET"] = "1"
+    os.environ["NEUROCLEAR_PALLAS_CONV"] = "1"
+    import importlib
+
+    from neuroclear_tpu.ops import pallas_conv as pc
+    importlib.reload(pc)
+    try:
+        rng = np.random.default_rng(0)
+        for cin, cout, shape in [(64, 64, (1, 5, 8, 32)),
+                                 (128, 64, (2, 4, 4, 32))]:
+            x = jnp.asarray(rng.normal(size=shape + (cin,)).astype(np.float32))
+            w = jnp.asarray((rng.normal(size=(3, 3, 3, cin, cout)) * 0.05)
+                            .astype(np.float32))
+            assert pc.supported(x.shape, w.shape, (1, 1, 1), "SAME", (1, 1, 1))
+            y = pc.conv3d_3x3(x, w)
+            ref = jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            assert float(jnp.max(jnp.abs(y - ref))) < 1e-4 * float(
+                jnp.max(jnp.abs(ref)) + 1)
+
+            gx, gw = jax.grad(
+                lambda x, w: jnp.sum(jnp.square(pc.conv3d_3x3(x, w))),
+                (0, 1))(x, w)
+            rx, rw = jax.grad(
+                lambda x, w: jnp.sum(jnp.square(jax.lax.conv_general_dilated(
+                    x, w, (1, 1, 1), "SAME",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC")))),
+                (0, 1))(x, w)
+            assert float(jnp.max(jnp.abs(gx - rx))) < 1e-3 * float(
+                jnp.max(jnp.abs(rx)) + 1)
+            assert float(jnp.max(jnp.abs(gw - rw))) < 1e-3 * float(
+                jnp.max(jnp.abs(rw)) + 1)
+
+        # unsupported geometries stay on XLA
+        assert not pc.supported((1, 5, 8, 32, 7), (3, 3, 3, 7, 64),
+                                (1, 1, 1), "SAME", (1, 1, 1))
+        assert not pc.supported((1, 5, 8, 32, 64), (5, 5, 5, 64, 64),
+                                (1, 1, 1), "SAME", (1, 1, 1))
+    finally:
+        os.environ.pop("NEUROCLEAR_PALLAS_INTERPRET", None)
+        os.environ.pop("NEUROCLEAR_PALLAS_CONV", None)
+        importlib.reload(pc)
