@@ -1,16 +1,26 @@
-"""Headline benchmark: 900^3 dice inference voxel rate (+ 108^3 train step).
+"""Headline benchmark: 900^3 dice inference voxel rate + train step timings.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Baselines (BASELINE.md): reference inference on GTX 1080-Ti = ~2.0 Mvoxel/s
-(900^3 in 5-8 min); reference training = 0.16 it/s.  TPU targets: 900^3
-inference < 30 s (~24 Mvoxel/s) on a v5p-8; here we run on a single chip.
+(900^3 in 5-8 min, README tile geometry 120/15/10); reference training =
+0.16 it/s at 148^3 crops (11k iters / ~19 h).  TPU targets: 900^3 inference
+< 30 s (~24 Mvoxel/s) on a v5p-8; here we run on a single chip.
 
-Env knobs: BENCH_SIZE (default 900), BENCH_ROI/BENCH_OV/BENCH_BC (tile
-geometry, default 204/15/10), BENCH_TILE_BATCH (default 1 — HBM-safe at
-ext 224^3), BENCH_PRECISION (default bfloat16), BENCH_TRAIN=0 to skip the
-train-step timing.
+Apples-to-apples notes (VERDICT r1 #3):
+  * the headline train number is the 148^3 crop (the BASELINE operating
+    point), measured synchronously (each step fetches its losses);
+    108^3 (the README example command's crop) is reported alongside.
+  * inference is reported for BOTH the README tile geometry (120/15/10)
+    and the throughput geometry (204/15/10, ~35% less overlap-redundant
+    compute); vs_baseline uses the README geometry so the ratio is
+    measured like-for-like.
+
+Env knobs: BENCH_SIZE (default 900), BENCH_TILE_BATCH (default 1 —
+HBM-safe at ext 224^3), BENCH_PRECISION (default bfloat16),
+BENCH_TRAIN=0 to skip train timings, BENCH_FAST_ONLY=1 to skip the
+README-geometry inference run.
 """
 
 import json
@@ -35,18 +45,13 @@ if os.environ.get("JAX_PLATFORMS"):
         pass
 
 
-def bench_inference(size: int, tile_batch: int) -> float:
+def bench_inference(size: int, tile_batch: int, roi: int, ov: int,
+                    bc: int) -> float:
     from neuroclear_tpu.data.dicing import DiceGrid
     from neuroclear_tpu.nn import generators as G
     from neuroclear_tpu.parallel.dice_infer import DiceInferencePipeline
     from neuroclear_tpu.utils.imageops import pad_for_dicing
 
-    # roi 204 + border 10 -> 224^3 net input (div by 4 for the U-Net pools);
-    # vs the README's 120-cube example this cuts overlap-redundant compute
-    # ~30% at 900^3 while keeping the same blend contract.
-    roi = int(os.environ.get("BENCH_ROI", "204"))
-    ov = int(os.environ.get("BENCH_OV", "15"))
-    bc = int(os.environ.get("BENCH_BC", "10"))
     rng = np.random.default_rng(0)
     vol = rng.integers(0, 65535, (size, size, size), dtype=np.uint16)
     vp = pad_for_dicing(vol, roi, ov)
@@ -67,13 +72,16 @@ def bench_inference(size: int, tile_batch: int) -> float:
     dt = time.time() - t0
     del out
     n_vox = size ** 3
-    print(f"# inference {size}^3: first(compile+run) {compile_run:.1f}s, "
+    print(f"# inference {size}^3 roi{roi}/ov{ov}/bc{bc}: "
+          f"first(compile+run) {compile_run:.1f}s, "
           f"steady {dt:.2f}s -> {n_vox / dt / 1e6:.1f} Mvoxel/s",
           file=sys.stderr)
     return n_vox / dt
 
 
-def bench_train() -> float:
+def bench_train(crop: int, remat: bool) -> float:
+    """Synchronous step time (each step fetches its losses — no async
+    dispatch hiding) for the production apollo config at `crop`^3."""
     import argparse
 
     from neuroclear_tpu.models.axial_to_lateral_gan_apollo_model import (
@@ -89,14 +97,14 @@ def bench_train() -> float:
         min_projection_depth=2, beta1=0.1, lr=1e-4, direction="AtoB",
         lr_policy="constant", n_epochs=100, n_epochs_decay=100, epoch_count=1,
         lr_decay_iters=50, continue_train=False, load_iter=0, epoch="latest",
-        verbose=False, seed=0,
+        verbose=False, seed=0, remat=remat,
         precision=os.environ.get("BENCH_PRECISION", "bfloat16"))
     import contextlib
 
     with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
         m = AxialToLateralGANApolloModel(opt)
         m.setup(opt)
-    x = np.random.rand(1, 108, 108, 108, 1).astype(np.float32)
+    x = np.random.rand(1, crop, crop, crop, 1).astype(np.float32)
     m.set_input({"A": x, "A_paths": "bench"})
     m.optimize_parameters()
     _ = m.get_current_losses()  # sync (compile)
@@ -107,8 +115,8 @@ def bench_train() -> float:
         _ = m.get_current_losses()
         ts.append(time.time() - t0)
     step = statistics.median(ts)
-    print(f"# train 108^3: {step * 1000:.0f} ms/it -> {1 / step:.2f} it/s",
-          file=sys.stderr)
+    print(f"# train {crop}^3{' +remat' if remat else ''}: "
+          f"{step * 1000:.0f} ms/it -> {1 / step:.2f} it/s", file=sys.stderr)
     return 1.0 / step
 
 
@@ -116,22 +124,35 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "900"))
     # tile_batch 1 at roi 204 (ext 224^3) is the HBM-safe default on 16GB
     tile_batch = int(os.environ.get("BENCH_TILE_BATCH", "1"))
-    vox_per_s = bench_inference(size, tile_batch)
 
     extra = {}
+    vox_fast = bench_inference(size, tile_batch, roi=204, ov=15, bc=10)
+    extra["inference_vox_per_s_roi204"] = round(vox_fast, 1)
+    if os.environ.get("BENCH_FAST_ONLY", "0") == "1":
+        vox_readme = vox_fast
+    else:
+        # the README example geometry — the like-for-like baseline compare;
+        # tile_batch scaled to the same activation footprint as ext 224^3
+        tb = max(1, int(tile_batch * (224 / 140.0) ** 3))
+        vox_readme = bench_inference(size, tb, roi=120, ov=15, bc=10)
+    extra["inference_vox_per_s_roi120"] = round(vox_readme, 1)
+
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
-            extra["train_iters_per_sec_108"] = round(bench_train(), 3)
-            extra["train_vs_baseline"] = round(
-                extra["train_iters_per_sec_108"] / 0.16, 2)
+            it148 = bench_train(148, remat=True)
+            extra["train_iters_per_sec_148"] = round(it148, 3)
+            extra["train_vs_baseline"] = round(it148 / 0.16, 2)
+            extra["train_11k_wallclock_hours"] = round(11000 / it148 / 3600, 2)
+            extra["train_iters_per_sec_108"] = round(
+                bench_train(108, remat=False), 3)
         except Exception as e:  # keep the headline metric robust
             print(f"# train bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "dice_inference_voxels_per_sec",
-        "value": round(vox_per_s, 1),
+        "value": round(vox_readme, 1),
         "unit": "voxel/s",
-        "vs_baseline": round(vox_per_s / 2.0e6, 2),
+        "vs_baseline": round(vox_readme / 2.0e6, 2),
         "extra": extra,
     }))
 
