@@ -137,8 +137,8 @@ def make_athena_step(nets, optim, cfg, axes):
             jax.lax.stop_gradient(d_params[k_]), x))(k) for k in d_params}
 
         # ---- G step (backward_G, athena_model.py:240-260) -----------------
-        ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg)
-        gb_apply = gc.maybe_remat(nets["G_B"].apply, cfg)
+        ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg, nets["G_A"])
+        gb_apply = gc.maybe_remat(nets["G_B"].apply, cfg, nets["G_B"])
 
         def g_loss_fn(gp):
             fake = ga_apply(gp["G_A"], real)

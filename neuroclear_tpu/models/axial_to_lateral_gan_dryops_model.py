@@ -110,7 +110,7 @@ def make_dryops_step(nets, optim, cfg):
         d_frozen = {k: (lambda k_: lambda x: nets[k_].apply(
             jax.lax.stop_gradient(d_params[k_]), x))(k) for k in d_params}
 
-        ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg)
+        ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg, nets["G_A"])
 
         def g_loss_fn(gp):
             fake = ga_apply(gp["G_A"], real)

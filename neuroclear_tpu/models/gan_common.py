@@ -77,11 +77,22 @@ class GanStepConfig:
         return jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
 
 
-def maybe_remat(apply_fn, cfg):
-    """Wrap a generator apply in jax.checkpoint when cfg.remat — trades
-    recompute for activation memory (e.g. athena at 148^3 crops needs it on
-    16GB chips)."""
-    return jax.checkpoint(apply_fn) if cfg.remat else apply_fn
+def maybe_remat(apply_fn, cfg, net=None):
+    """Return the memory-reduced apply when cfg.remat.
+
+    Nets that support per-block rematerialisation (a `remat` dataclass field,
+    e.g. UNetDeconv) are rebuilt with it enabled — the backward pass then
+    holds one block's interior at a time, which is what actually cuts the
+    fwd+bwd HBM peak (a whole-apply jax.checkpoint only defers it: a fresh
+    apollo 148^3 step compile needed 19.7 GB).  Other nets fall back to the
+    coarse whole-apply checkpoint (saves in/out only; good for shallow
+    activation-free stacks like DeepLinearGenerator)."""
+    if not cfg.remat:
+        return apply_fn
+    if net is not None and any(f.name == "remat"
+                               for f in dataclasses.fields(net)):
+        return dataclasses.replace(net, remat=True).apply
+    return jax.checkpoint(apply_fn)
 
 
 def g_gan(pred, cfg):

@@ -48,6 +48,8 @@ class ConvBlock:
     k: int = 3
     stride: int = 1
     pad: int = 1
+    # checkpoint each conv->norm->relu unit (see UNetDeconv.remat)
+    remat: bool = False
 
     def init(self, key, init_type, gain) -> Params:
         p = {}
@@ -61,12 +63,17 @@ class ConvBlock:
         return p
 
     def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        ck = jax.checkpoint if self.remat else (lambda f: f)
         for i in range(self.n):
             in_c = self.in_c if i == 0 else self.out_c
             conv = Conv(self.dim, in_c, self.out_c, self.k, self.stride, self.pad)
-            x = conv.apply(p[f"conv{i}"], x)
-            x = self.norm.apply(p.get(f"norm{i}", {}), x)
-            x = relu(x)
+
+            def unit(q, v, conv=conv, i=i):
+                v = conv.apply(q[f"conv{i}"], v)
+                v = self.norm.apply(q.get(f"norm{i}", {}), v)
+                return relu(v)
+
+            x = ck(unit)(p, x)
         return x
 
 
@@ -87,18 +94,24 @@ class UNetDeconv:
     output_nc: int
     norm: str = "instance"
     dim: int = 3
+    # per-block rematerialisation: checkpoint each ConvBlock so the backward
+    # pass holds one block's interior at a time (whole-apply jax.checkpoint
+    # does NOT cut the fwd+bwd peak — a fresh 148^3 apollo step compile needed
+    # 19.7 GB HBM without this).  Set via models' --remat (gan_common.maybe_remat).
+    remat: bool = False
 
     def _parts(self):
         ns = get_norm_spec(self.norm, self.dim)
         s = self.input_nc * 64
+        r = self.remat
         return ns, s, {
-            "double_conv1": ConvBlock(self.dim, self.input_nc, s, 2, ns),
-            "double_conv2": ConvBlock(self.dim, s, s * 2, 2, ns),
-            "bottom_layer": ConvBlock(self.dim, s * 2, s * 4, 3, ns),
+            "double_conv1": ConvBlock(self.dim, self.input_nc, s, 2, ns, remat=r),
+            "double_conv2": ConvBlock(self.dim, s, s * 2, 2, ns, remat=r),
+            "bottom_layer": ConvBlock(self.dim, s * 2, s * 4, 3, ns, remat=r),
             "t_conv2": ConvTranspose(self.dim, s * 4, s * 2, 2, 2),
-            "ex_double_conv2": ConvBlock(self.dim, s * 4, s * 2, 2, ns),
+            "ex_double_conv2": ConvBlock(self.dim, s * 4, s * 2, 2, ns, remat=r),
             "t_conv1": ConvTranspose(self.dim, s * 2, s, 2, 2),
-            "ex_conv1_1": ConvBlock(self.dim, s * 2, s, 1, ns),
+            "ex_conv1_1": ConvBlock(self.dim, s * 2, s, 1, ns, remat=r),
             "one_by_one": Conv(self.dim, s, self.output_nc, 1, 1, 0),
             "one_by_one_2": Conv(self.dim, self.output_nc, self.output_nc, 1, 1, 0),
         }
@@ -110,17 +123,26 @@ class UNetDeconv:
 
     def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         _, _, m = self._parts()
-        conv1 = m["double_conv1"].apply(p["double_conv1"], x)
+        ck = jax.checkpoint if self.remat else (lambda f: f)
+        # skip-concats happen INSIDE the checkpointed blocks so the saved
+        # residuals are the two halves, not an extra concatenated copy
+        conv1 = ck(m["double_conv1"].apply)(p["double_conv1"], x)
         down1 = max_pool(conv1, 2, self.dim)
-        conv2 = m["double_conv2"].apply(p["double_conv2"], down1)
+        conv2 = ck(m["double_conv2"].apply)(p["double_conv2"], down1)
         down2 = max_pool(conv2, 2, self.dim)
-        bottom = m["bottom_layer"].apply(p["bottom_layer"], down2)
+        bottom = ck(m["bottom_layer"].apply)(p["bottom_layer"], down2)
         up2 = m["t_conv2"].apply(p["t_conv2"], bottom)
-        cat2 = jnp.concatenate([conv2, up2], axis=-1)
-        ex2 = m["ex_double_conv2"].apply(p["ex_double_conv2"], cat2)
+
+        def _ex2(q, a, b):
+            return m["ex_double_conv2"].apply(q, jnp.concatenate([a, b], axis=-1))
+
+        ex2 = ck(_ex2)(p["ex_double_conv2"], conv2, up2)
         up1 = m["t_conv1"].apply(p["t_conv1"], ex2)
-        cat1 = jnp.concatenate([conv1, up1], axis=-1)
-        ex1 = m["ex_conv1_1"].apply(p["ex_conv1_1"], cat1)
+
+        def _ex1(q, a, b):
+            return m["ex_conv1_1"].apply(q, jnp.concatenate([a, b], axis=-1))
+
+        ex1 = ck(_ex1)(p["ex_conv1_1"], conv1, up1)
         y = m["one_by_one"].apply(p["one_by_one"], ex1)
         y = m["one_by_one_2"].apply(p["one_by_one_2"], y)
         return sigmoid(y)
