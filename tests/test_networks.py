@@ -189,3 +189,28 @@ def test_batch_norm_refresh_in_train_step():
     assert set(before) == set(after)
     changed = any(not np.allclose(before[k], after[k]) for k in before)
     assert changed, "running stats were not refreshed by the train step"
+
+
+def test_unet_deconv_remat_parity():
+    """Per-block remat (gan_common.maybe_remat) must be a pure memory
+    transform: identical forward values AND gradients vs remat=False."""
+    import dataclasses
+
+    g = G.UNetDeconv(1, 1, norm="instance")
+    gr = dataclasses.replace(g, remat=True)
+    p = g.init(KEY, "kaiming", 0.02)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 16, 16, 16, 1)),
+                    jnp.float32)
+
+    y0 = g.apply(p, x)
+    y1 = gr.apply(p, x)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    def loss(apply_fn, p):
+        return jnp.sum(apply_fn(p, x) ** 2)
+
+    g0 = jax.grad(lambda q: loss(g.apply, q))(p)
+    g1 = jax.grad(lambda q: loss(gr.apply, q))(p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)
