@@ -84,15 +84,18 @@ if __name__ == "__main__":
 
     # failure detection: a wedged device client blocks the loop forever;
     # the watchdog turns that into a clean exit the resume contract handles
-    # (idiomatic stand-in for the reference's manual relaunch, SURVEY §5.3)
-    heartbeat = [time.time()]
+    # (idiomatic stand-in for the reference's manual relaunch, SURVEY §5.3).
+    # It arms only after the first completed iteration — startup (volume
+    # upload, checkpoint load, first compile) can legitimately exceed the
+    # window, and a wedge *there* is the caller's timeout to handle.
+    heartbeat = [0.0]
     if opt.watchdog_secs > 0:
         import threading
 
         def _watch():
             while True:
                 time.sleep(min(30, opt.watchdog_secs))
-                if time.time() - heartbeat[0] > opt.watchdog_secs:
+                if heartbeat[0] and time.time() - heartbeat[0] > opt.watchdog_secs:
                     print(f"watchdog: no progress for {opt.watchdog_secs}s; "
                           "exiting 42 (resume with --continue_train)",
                           flush=True)
