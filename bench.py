@@ -67,6 +67,13 @@ def bench_inference(size: int, tile_batch: int, roi: int, ov: int,
     t0 = time.time()
     out = pipe.run_streaming(vp)
     compile_run = time.time() - t0
+    # drop the warmup's buffers before timing: back-to-back runs otherwise
+    # stall ~20-30 s in device_put on HBM frees (allocator backpressure —
+    # a bench artifact, not a property of a single inference)
+    import gc
+    del out
+    gc.collect()
+    time.sleep(2)
     t0 = time.time()
     out = pipe.run_streaming(vp)
     dt = time.time() - t0
