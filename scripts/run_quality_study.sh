@@ -1,0 +1,81 @@
+#!/bin/bash
+# Reproduce the simulation quality study (docs/QUALITY.md): train apollo at
+# the reference's 148^3 quality operating point on a 700^3 synthetic bead
+# volume to 11k iterations, evaluating under the reference's protocol
+# (/root/reference/test_dice.py:229-263 semantics) at 3k/6k/9k/11k.
+#
+# Runs in 500-iteration segments with frequent checkpoint banking because
+# long-lived axon-tunnel clients wedge nondeterministically (see
+# .claude/skills/verify/SKILL.md); on real locally-attached TPU hosts a
+# single `--max_iters 11000` run works and the segmenting is harmless.
+#
+# Usage: scripts/run_quality_study.sh [DATA_DIR] [CKPT_DIR] [LOG_DIR]
+set -u
+cd "$(dirname "$0")/.."
+DATA=${1:-/tmp/sim700}
+CKPT=${2:-/tmp/ckpt_sim700}
+LOG=${3:-/tmp/quality}
+NAME=apollo148
+mkdir -p "$LOG"
+
+if [ ! -d "$DATA/input" ]; then
+  python scripts/generate_synthetic.py --out "$DATA" --size 700 --seed 0
+fi
+
+TRAIN_FLAGS="--dataroot $DATA/input --checkpoints_dir $CKPT --name $NAME \
+ --dataset_mode singlevolume \
+ --preprocess random3Drotate_randomcrop_randomflip_addColorChannel_addBatchChannel \
+ --model axial_to_lateral_gan_apollo --netG unet_deconv --netG_B deep_linear_gen \
+ --netD basic --gan_mode lsgan --init_type kaiming --norm instance \
+ --batch_size 1 --lambda_A 5 --crop_size 148 148 148 --lambda_plane 1 1 1 \
+ --lr_policy constant --randomize_projection_depth --projection_depth 10 \
+ --precision bfloat16 --remat --save_by_iter --save_latest_freq 50 \
+ --print_freq 50 --display_freq 1000000 --seed 0 --watchdog_secs 240"
+
+last_ckpt() {
+  ls "$CKPT/$NAME"/iter_*_net_G_A.npz 2>/dev/null \
+   | sed 's/.*iter_\([0-9]*\)_net.*/\1/' | awk '$1 % 50 == 0' | sort -n | tail -1
+}
+
+eval_at() {
+  local it=$1
+  shift
+  timeout 1800 python test_dice.py --dataroot "$DATA/input" \
+    --dataroot_gt "$DATA/gt" \
+    --checkpoints_dir "$CKPT" --results_dir /tmp/results_sim700 --name $NAME \
+    --serial_batches --preprocess addColorChannel --dataset_mode diceImage \
+    --netG unet_deconv --overlap 15 --dice_size 120 120 120 --normalize_intensity \
+    --sat_level 0.25 99.75 --image_dimension 3 --model_suffix _A \
+    --border_cut 10 --skip_real --load_iter "$it" "$@" \
+    > "$LOG/eval_$it.log" 2>&1
+  grep "psnr" "$LOG/eval_$it.log"
+}
+
+SEG=0
+while true; do
+  P=$(last_ckpt); P=${P:-0}
+  if [ "$P" -ge 11000 ]; then break; fi
+  SEG=$((SEG+1))
+  if [ "$SEG" -gt 200 ]; then echo "too many segments, aborting" >> "$LOG/driver.log"; break; fi
+  RESUME=""
+  if [ "$P" -gt 0 ]; then RESUME="--continue_train --load_iter $P"; fi
+  echo "=== segment $SEG from iter $P $(date +%H:%M:%S)" >> "$LOG/driver.log"
+  timeout 1500 python train_onecube.py $TRAIN_FLAGS $RESUME --max_iters 500 \
+    >> "$LOG/train.log" 2>&1
+  echo "segment rc=$? last=$(last_ckpt) $(date +%H:%M:%S)" >> "$LOG/driver.log"
+  P2=$(last_ckpt); P2=${P2:-0}
+  for M in 3000 6000 9000; do
+    if [ "$P2" -ge "$M" ] && [ ! -f "$LOG/eval_$M.done" ]; then
+      echo "--- eval at $M" >> "$LOG/driver.log"
+      eval_at $M >> "$LOG/driver.log" 2>&1
+      touch "$LOG/eval_$M.done"
+    fi
+  done
+done
+F=$(last_ckpt)
+if [ ! -f "$LOG/eval_final.done" ]; then
+  echo "--- final eval at $F" >> "$LOG/driver.log"
+  eval_at "$F" --save_volume >> "$LOG/driver.log" 2>&1
+  touch "$LOG/eval_final.done"
+fi
+echo "ALL DONE $(date +%H:%M:%S)" >> "$LOG/driver.log"
