@@ -133,11 +133,18 @@ def main():
     tile_batch = int(os.environ.get("BENCH_TILE_BATCH", "1"))
 
     extra = {}
+    # chip/session provenance: round-over-round deltas on this dev chip vary
+    # ~2x between sessions, so the JSON records what it ran on
+    try:
+        dev = jax.devices()[0]
+        extra["device"] = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
+    except Exception:
+        pass
+
     vox_fast = bench_inference(size, tile_batch, roi=204, ov=15, bc=10)
     extra["inference_vox_per_s_roi204"] = round(vox_fast, 1)
-    if os.environ.get("BENCH_FAST_ONLY", "0") == "1":
-        vox_readme = vox_fast
-    else:
+    vox_readme = None
+    if os.environ.get("BENCH_FAST_ONLY", "0") != "1":
         # the README example geometry — the like-for-like baseline compare.
         # tile_batch 2 (not the footprint-scaled 4): the remote-compile
         # helper has failed on the B=4 roi-120 program, and B=2 is the
@@ -145,10 +152,17 @@ def main():
         try:
             vox_readme = bench_inference(size, 2, roi=120, ov=15, bc=10)
         except Exception as e:  # keep the headline robust to one bad leg
-            print(f"# roi120 bench failed ({e}); falling back to roi204",
-                  file=sys.stderr)
-            vox_readme = vox_fast
-    extra["inference_vox_per_s_roi120"] = round(vox_readme, 1)
+            print(f"# roi120 bench failed ({e})", file=sys.stderr)
+    # never alias the roi-204 number into the like-for-like slot: if the
+    # roi-120 leg did not run, say so in the JSON and flag the headline
+    extra["inference_vox_per_s_roi120"] = (
+        round(vox_readme, 1) if vox_readme is not None else None)
+    if vox_readme is None:
+        extra["roi120_fallback"] = True
+        extra["headline_geometry"] = "roi204 (roi120 leg did not run)"
+        vox_readme = vox_fast
+    else:
+        extra["headline_geometry"] = "roi120 (like-for-like)"
 
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:

@@ -34,20 +34,21 @@ class AxialToLateralGANApolloModel(BaseModel):
         parser.set_defaults(no_dropout=True)
         if is_train:
             parser.add_argument("--lambda_A", type=float, default=10.0,
-                                help="weight for cycle loss (A -> B -> A)")
+                                help="strength of the A->B->A reconstruction (cycle) term")
             parser.add_argument("--gan_mode", type=str, default="vanilla",
-                                help="the type of GAN objective. [vanilla| lsgan | wgangp].")
+                                help="adversarial objective: vanilla | lsgan | wgangp")
             parser.add_argument("--lambda_plane", type=int, nargs="+", default=[1, 1, 1],
-                                help="weight ratio for matching (target vs. target) and "
-                                     "(target vs. source) and (MIP target vs. MIP source).")
+                                help="relative weights of the lateral / axial-XZ / axial-YZ "
+                                     "adversarial terms (normalised to fractions internally)")
             parser.add_argument("--randomize_projection_depth", action="store_true",
-                                help="randomize the depth for MIP")
+                                help="sample a fresh MIP window depth every iteration")
             parser.add_argument("--projection_depth", type=int, default=10,
-                                help="depth for maximum intensity projections. ")
+                                help="window depth (slices) used for intensity projections; the "
+                                     "upper bound when the depth is randomized")
             parser.add_argument("--min_projection_depth", type=int, default=2,
-                                help="minimum depth for maximum intensity projections. ")
+                                help="lower bound of the sampled projection window depth")
         parser.add_argument("--netG_B", type=str, default="deep_linear_gen",
-                            help="specify the generator in B->A path. ")
+                            help="generator architecture for the backward (B->A) path")
         return parser
 
     def __init__(self, opt):

@@ -33,19 +33,20 @@ class AxialToLateralGANAthenaModel(BaseModel):
         parser.set_defaults(no_dropout=True)
         if is_train:
             parser.add_argument("--lambda_A", type=float, default=10.0,
-                                help="weight for cycle loss (A -> B -> A)")
+                                help="strength of the A->B->A reconstruction (cycle) term")
             parser.add_argument("--pool_size", type=int, default=50,
-                                help="the size of image buffer that stores previously generated images")
+                                help="history-buffer capacity for generated slices (declared for flag "
+                                     "parity; unused — the reference imports ImagePool but never calls it)")
             parser.add_argument("--gan_mode", type=str, default="vanilla",
-                                help="the type of GAN objective. [vanilla| lsgan | wgangp].")
+                                help="adversarial objective: vanilla | lsgan | wgangp")
         parser.add_argument("--conversion_plane", type=str, nargs="+",
                             default=["yz", "xy"],
-                            help="Describe source plane and target plane. e.g.: yz xy")
+                            help="slicing planes of the conversion: <source> <target>, e.g. yz xy")
         parser.add_argument("--lambda_plane", type=int, nargs="+", default=[1, 1, 1],
-                            help="weight ratio for matching to source, target, reference "
-                                 "plane of fake to target plane of real")
+                            help="relative weights of the source- / target- / remaining-plane "
+                                 "adversarial terms")
         parser.add_argument("--netG_B", type=str, default="deep_linear_gen",
-                            help="Specify the generator in B->A path. ")
+                            help="generator architecture for the backward (B->A) path")
         return parser
 
     def __init__(self, opt):

@@ -22,17 +22,18 @@ class AxialToLateralGANDryopsModel(BaseModel):
         parser.set_defaults(no_dropout=True)
         if is_train:
             parser.add_argument("--lambda_A", type=float, default=10.0,
-                                help="weight for cycle loss (A -> B -> A)")
+                                help="strength of the (unused in this ablation) cycle term; kept for flag parity")
             parser.add_argument("--gan_mode", type=str, default="vanilla",
-                                help="the type of GAN objective. [vanilla| lsgan | wgangp].")
+                                help="adversarial objective: vanilla | lsgan | wgangp")
             parser.add_argument("--lambda_plane", type=int, nargs="+", default=[1, 1, 1],
-                                help="weight ratio for plane matching.")
+                                help="relative weights of the lateral / axial adversarial terms")
             parser.add_argument("--randomize_projection_depth", action="store_true",
-                                help="randomize the depth for MIP")
+                                help="sample a fresh MIP window depth every iteration")
             parser.add_argument("--projection_depth", type=int, default=10,
-                                help="depth for maximum intensity projections. ")
+                                help="window depth (slices) used for intensity projections; the "
+                                     "upper bound when the depth is randomized")
             parser.add_argument("--min_projection_depth", type=int, default=2,
-                                help="minimum depth for maximum intensity projections. ")
+                                help="lower bound of the sampled projection window depth")
         return parser
 
     def __init__(self, opt):

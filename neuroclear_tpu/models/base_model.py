@@ -129,9 +129,14 @@ class BaseModel(ABC):
         """EMA-refresh batch-norm running buffers from the current input.
 
         The reference's torch BatchNorm updates running stats on every train
-        forward; here one dedicated jitted generator pass per training step
-        collects the batch statistics and applies the torch EMA (momentum
-        0.1).  No-op unless the model was built with --norm batch."""
+        forward — in the generators AND in the discriminators (every D
+        forward during backward_D/backward_G steps their buffers too).  Here
+        one dedicated jitted pass per training step collects batch statistics
+        and applies the torch EMA (momentum 0.1): the G nets chained on the
+        real input (G_A -> G_B reproduces the fake/rec data flow), and each
+        D net on a 2-batch of lateral slices of (real, fake) — a
+        representative stand-in for the reference's per-step random slice/MIP
+        D inputs.  No-op unless the model was built with --norm batch."""
         if getattr(self.opt, "norm", "instance") != "batch":
             return
         real = getattr(self, "real", None)
@@ -142,34 +147,51 @@ class BaseModel(ABC):
 
             g_names = [n for n in self.model_names
                        if n.startswith("G") and n in self.nets]
+            d_names = [n for n in self.model_names
+                       if n.startswith("D") and n in self.nets]
+
+            def _collect(apply_fn, params_n, inp):
+                with norms.collect_batch_stats() as stats:
+                    out = apply_fn(params_n, inp)
+                pairs = norms.ema_update_stats(stats)
+                mapping = {id(s[0]): pair for s, pair in zip(stats, pairs)}
+
+                def write_back(node):
+                    if isinstance(node, dict):
+                        res = {k: write_back(v) for k, v in node.items()}
+                        if id(node) in mapping:
+                            rm, rv = mapping[id(node)]
+                            res["running_mean"] = rm
+                            res["running_var"] = rv
+                        return res
+                    return node
+
+                return write_back(params_n), out
 
             def _refresh(params, x):
                 new = dict(params)
                 inp = x
+                fake = None
                 for n in g_names:
-                    with norms.collect_batch_stats() as stats:
-                        out = self.nets[n].apply(params[n], inp)
-                    pairs = norms.ema_update_stats(stats)
-                    mapping = {id(s[0]): pair for s, pair in zip(stats, pairs)}
-
-                    def write_back(node):
-                        if isinstance(node, dict):
-                            res = {k: write_back(v) for k, v in node.items()}
-                            if id(node) in mapping:
-                                rm, rv = mapping[id(node)]
-                                res["running_mean"] = rm
-                                res["running_var"] = rv
-                            return res
-                        return node
-
-                    new[n] = write_back(params[n])
+                    new[n], out = _collect(self.nets[n].apply, params[n], inp)
+                    if fake is None:
+                        fake = out  # first G output = the fake volume
                     inp = out
+                if d_names and fake is not None and x.ndim == 5:
+                    # (1, Z, Y, X, C) -> 2-batch of mid lateral slices
+                    mid = x.shape[1] // 2
+                    import jax.numpy as jnp
+
+                    d_in = jnp.concatenate([x[:, mid], fake[:, mid]], axis=0)
+                    for n in d_names:
+                        new[n], _ = _collect(self.nets[n].apply, params[n],
+                                             d_in)
                 return new
 
             self._stats_fn = jax.jit(_refresh)
-            self._stats_g_names = g_names
+            self._stats_names = g_names + d_names
         updated = self._stats_fn(
-            {n: self.params[n] for n in self._stats_g_names}, real)
+            {n: self.params[n] for n in self._stats_names}, real)
         self.params.update(updated)
 
     def test(self):

@@ -148,7 +148,14 @@ class DiceInferencePipeline:
         oz, oy, ox = self.orig_shape if self.orig_shape else (Zp, Yp, Xp)
         emitted = []
         acc = jnp.zeros((roi, Yp, Xp), jnp.float32)
-        slab_fn = _slab_step if nd == 1 else self._make_sharded_slab_step(nd)
+        if nd == 1:
+            slab_fn = _slab_step
+        else:
+            # built once per pipeline so repeated run_streaming calls reuse
+            # the compiled sharded programs (the closure holds the jit cache)
+            if getattr(self, "_sharded_slab_fn", None) is None:
+                self._sharded_slab_fn = self._make_sharded_slab_step(nd)
+            slab_fn = self._sharded_slab_fn
         for i in range(g.z_steps):
             row_inv = jnp.asarray(inv_cz[i * step:i * step + roi])
             # emit only the rows this slab contributes to the final volume

@@ -78,13 +78,8 @@ def get_psnr(source, target, data_range):
     return 20 * math.log10(data_range) - 10 * math.log10(mse)
 
 
-def get_ssim(a, b, data_range, win: int = 7):
-    """Global-window SSIM over a volume (scaffolding parity with the unused
-    skimage call in util/visualizer.py:59-83; mean-of-local-windows variant).
-    Uses a uniform filter implemented with cumulative sums (no scipy needed
-    in the hot path)."""
-    a = np.asarray(a, np.float64)
-    b = np.asarray(b, np.float64)
+def _ssim_map_sum(a, b, data_range, win):
+    """Sum and count of the local-window SSIM map over one (sub)volume."""
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
 
@@ -104,7 +99,38 @@ def get_ssim(a, b, data_range, win: int = 7):
     sab = box(a * b) - mu_a * mu_b
     ssim_map = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)) / (
         (mu_a ** 2 + mu_b ** 2 + c1) * (saa + sbb + c2))
-    return float(np.mean(ssim_map))
+    return float(np.sum(ssim_map)), ssim_map.size
+
+
+def get_ssim(a, b, data_range, win: int = 7, chunk_voxels: int = 48_000_000):
+    """Mean local-window SSIM (scaffolding parity with the unused skimage
+    call in util/visualizer.py:59-83).  Uniform filter via cumulative sums
+    (no scipy needed).  Large volumes are processed in leading-axis chunks
+    with a (win-1)-row halo — exact (each chunk computes a disjoint strip of
+    the same valid-window map), so 700^3+ evals run in bounded memory
+    (~10 float64 copies of one chunk, not of the volume)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.ndim < 1 or a.shape[0] < win or a.size <= chunk_voxels:
+        return _chunk_mean([(np.asarray(a, np.float64),
+                             np.asarray(b, np.float64))], data_range, win)
+    rows_per = max(win, chunk_voxels // max(1, int(np.prod(a.shape[1:]))))
+    n_valid = a.shape[0] - win + 1  # valid window starts along axis 0
+    pairs = []
+    for z0 in range(0, n_valid, rows_per):
+        z1 = min(z0 + rows_per, n_valid)  # windows [z0, z1) -> rows up to
+        pairs.append((np.asarray(a[z0:z1 + win - 1], np.float64),
+                      np.asarray(b[z0:z1 + win - 1], np.float64)))
+    return _chunk_mean(pairs, data_range, win)
+
+
+def _chunk_mean(pairs, data_range, win):
+    total, count = 0.0, 0
+    for ca, cb in pairs:
+        s, n = _ssim_map_sum(ca, cb, data_range, win)
+        total += s
+        count += n
+    return total / max(count, 1)
 
 
 # --- histogram ops (skimage.exposure equivalents) ---------------------------

@@ -25,6 +25,11 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=300)
     ap.add_argument("--n_beads", type=int, default=None)
     ap.add_argument("--axial_sigma", type=float, default=6.0)
+    ap.add_argument("--gauss_noise", type=float, default=0.01,
+                    help="read-noise sigma (fraction of full scale)")
+    ap.add_argument("--poisson_peak", type=float, default=200.0,
+                    help="photon count at intensity 1.0 (higher = less "
+                         "shot noise)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -35,6 +40,7 @@ if __name__ == "__main__":
     shape = (args.size,) * 3
     noisy, gt, rotated = generate_bead_volume(
         shape=shape, n_beads=n_beads, axial_sigma=args.axial_sigma,
+        gauss_noise=args.gauss_noise, poisson_peak=args.poisson_peak,
         seed=args.seed)
     tiffio.imwrite(os.path.join(args.out, "input", "bead_input.tif"), noisy)
     tiffio.imwrite(os.path.join(args.out, "gt", "bead_gt.tif"), gt)

@@ -103,11 +103,12 @@ def main():
         emitted = []
         for i in range(grid.z_steps):
             row_inv = jnp.asarray(inv_cz[i * step:i * step + roi])
+            take = roi if i == grid.z_steps - 1 else step
             acc, emit = _slab_step(
                 g.apply, params, slab_volume(i), acc, jnp.int32(0),
                 offs_yx, valid, (row_inv, inv_cy, inv_cx), Yp, Xp, ext, roi,
                 step, bc, B, 1 / 65535.0, False, "bfloat16", "uint16",
-                size, size)
+                size, size, take)
             emitted.append(emit)
         for e in emitted:
             e.block_until_ready()

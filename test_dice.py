@@ -319,11 +319,9 @@ def compute_gt_metrics(opt, web_dir, img_whole_dict):
     psnr_input_gt = imageops.get_psnr(real_volume, gt_volume, datarange)
     psnr_output_gt = imageops.get_psnr(fake_volume, gt_volume, datarange)
     # SSIM (the reference only scaffolds it, util/visualizer.py:59-83);
-    # size-gated: the windowed stats need several float64 volume copies.
-    ssim_input_gt = ssim_output_gt = None
-    if gt_volume.size <= 400 ** 3:
-        ssim_input_gt = imageops.get_ssim(real_volume, gt_volume, datarange)
-        ssim_output_gt = imageops.get_ssim(fake_volume, gt_volume, datarange)
+    # chunked along z so 700^3+ volumes run in bounded memory.
+    ssim_input_gt = imageops.get_ssim(real_volume, gt_volume, datarange)
+    ssim_output_gt = imageops.get_ssim(fake_volume, gt_volume, datarange)
     print("Metrics are calculated.")
 
     message = "Experiment Name: " + opt.name + "\n"
