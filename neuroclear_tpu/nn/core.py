@@ -124,12 +124,24 @@ class Conv:
         return p
 
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
-        # bf16 3x3x3 stride-1 convs with lane-width channels dispatch to the
-        # Pallas dense-K kernel (~2x the XLA emitter on 64-ch layers; see
-        # ops/pallas_conv.py).  f32 keeps the HIGHEST-precision XLA path
-        # (torch parity contract).
+        # bf16 cout=64 3x3x3 stride-1 convs (the U-Net's hot layers) use the
+        # output-z-pair packed formulation (ops/conv_zpack.py): XLA runs the
+        # packed conv at its 128-wide machine rate, a measured win over its
+        # half-width cout=64 emitter.  NEUROCLEAR_ZPACK=0 opts out.
         if (self.dim == 3 and self.k == 3 and self.stride == 1
                 and self.pad == 1 and x.dtype == jnp.bfloat16):
+            from ..ops import conv_zpack as zp
+
+            if (zp.ENABLED and zp.supported(x.shape, self.in_c, self.out_c,
+                                            self.k, self.stride, self.pad,
+                                            self.dim)):
+                y = zp.conv3d_zpack2(x, params["w"].astype(x.dtype))
+                if self.bias:
+                    y = y + params["b"].astype(y.dtype)
+                return y
+            # the Pallas dense-K kernel attempt is kept for study behind
+            # NEUROCLEAR_PALLAS_CONV=1 (rejected by Mosaic on current
+            # hardware; docs/PERFORMANCE.md round-2 kernel study)
             from ..ops import pallas_conv as pc
 
             wshape = (3, 3, 3, self.in_c, self.out_c)

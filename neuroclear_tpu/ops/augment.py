@@ -22,6 +22,7 @@ ops/rotation.py) and bilinear up to cv2's fixed-point interpolation rounding.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -145,11 +146,26 @@ def sample_rotated_crop(vol, angle, offsets, crop_size, inv_scale, rotate=True):
     y0i = jnp.clip(yf.astype(jnp.int32), 0, Y - 1)
     y1i = jnp.clip(y0i + 1, 0, Y - 1)
 
-    zvol = jax.lax.dynamic_slice(vol, (z0, 0, 0), (cz, Y, X))
-    v00 = zvol[:, y0i, x0i].astype(jnp.float32)
-    v01 = zvol[:, y0i, x1i].astype(jnp.float32)
-    v10 = zvol[:, y1i, x0i].astype(jnp.float32)
-    v11 = zvol[:, y1i, x1i].astype(jnp.float32)
+    # Gather from a LOCAL (cz, Wy, Wx) window around the rotated crop's
+    # source bounding box rather than the whole (cz, Y, X) z-slab: the
+    # source coords are an affine map of the crop window, so their bbox is
+    # bounded by the crop diagonal regardless of angle.  Bit-identical
+    # samples (the weights/indices only shift by the integer window origin)
+    # at an order less gather source — a pathology guard for runtimes whose
+    # big-source gathers fall off a performance cliff (observed: a session
+    # where full-plane gathers cost ~15 s flat).
+    diag = int(math.ceil(math.hypot(cy, cx))) + 3
+    Wy = min(Y, diag)
+    Wx = min(X, diag)
+    y_lo = jnp.clip(jnp.min(y0i), 0, Y - Wy)
+    x_lo = jnp.clip(jnp.min(x0i), 0, X - Wx)
+    loc = jax.lax.dynamic_slice(vol, (z0, y_lo, x_lo), (cz, Wy, Wx))
+    y0l, y1l = y0i - y_lo, y1i - y_lo
+    x0l, x1l = x0i - x_lo, x1i - x_lo
+    v00 = loc[:, y0l, x0l].astype(jnp.float32)
+    v01 = loc[:, y0l, x1l].astype(jnp.float32)
+    v10 = loc[:, y1l, x0l].astype(jnp.float32)
+    v11 = loc[:, y1l, x1l].astype(jnp.float32)
     out = ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
            + (v10 * (1 - wx) + v11 * wx) * wy)
     return out * inv_scale

@@ -100,24 +100,48 @@ class DiceInferencePipeline:
         ext = roi + 2 * b
         Zp, Yp, Xp = vol_padded.shape
 
-        # upload the volume as per-slab z-chunks, issued async up front so
-        # host-to-device transfer overlaps the earlier slabs' compute
-        vol_bc = np.pad(vol_padded, ((b, b), (b, b), (b, b)), mode="reflect") \
-            if b > 0 else np.asarray(vol_padded)
-        if step >= ext - step and g.z_steps > 1:
-            # per-slab chunks: slab i = chunk i + head of chunk i+1
+        # upload the RAW volume as per-slab z-chunks (contiguous views — no
+        # host copy), issued async up front so host-to-device transfer
+        # overlaps the earlier slabs' compute.  The border_cut reflect pad
+        # is applied ON DEVICE per slab: z borders by stitching flipped
+        # chunk edges, y/x by jnp.pad — the reference pads on the host
+        # (diceImage_dataset.py:95-96), which costs a full-volume copy on
+        # the critical path before any upload can start.
+        vol_np = np.asarray(vol_padded)
+        Zraw = vol_np.shape[0]
+        if step >= ext - step and g.z_steps > 1 and step > b:
             chunks = []
             for i in range(g.z_steps):
                 z0 = i * step
-                z1 = (i + 1) * step if i < g.z_steps - 1 else vol_bc.shape[0]
-                chunks.append(jax.device_put(np.ascontiguousarray(vol_bc[z0:z1])))
+                z1 = (i + 1) * step if i < g.z_steps - 1 else Zraw
+                chunks.append(jax.device_put(vol_np[z0:z1]))
 
             def slab_volume(i):
-                if i == g.z_steps - 1:
-                    return chunks[i]  # already exactly ext rows
-                return jnp.concatenate([chunks[i], chunks[i + 1][:ext - step]], 0)
+                # rows [i*step - b, i*step - b + ext) of the border-padded
+                # volume, with reflection at the global z edges
+                parts = []
+                if i == 0:
+                    if b > 0:  # reflect: rows b..1 of chunk 0
+                        parts.append(jnp.flip(chunks[0][1:b + 1], 0))
+                else:
+                    parts.append(chunks[i - 1][step - b:])  # tail of prev
+                parts.append(chunks[i])
+                if i < g.z_steps - 1:
+                    # head rows of the next chunk: ext-b-step = ov+b <= step
+                    # under the guards, so one chunk always suffices
+                    parts.append(chunks[i + 1][:ext - b - step])
+                else:
+                    if b > 0:  # reflect: last b rows mirrored
+                        parts.append(jnp.flip(chunks[i][-b - 1:-1], 0))
+                slab = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+                if b > 0:
+                    slab = jnp.pad(slab, ((0, 0), (b, b), (b, b)),
+                                   mode="reflect")
+                return slab
         else:
             # extreme overlap (a slab spans >2 chunks): upload whole volume
+            vol_bc = np.pad(vol_np, ((b, b), (b, b), (b, b)), mode="reflect") \
+                if b > 0 else vol_np
             whole = jax.device_put(vol_bc)
 
             def slab_volume(i):

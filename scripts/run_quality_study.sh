@@ -10,12 +10,17 @@
 # single `--max_iters 11000` run works and the segmenting is harmless.
 #
 # Usage: scripts/run_quality_study.sh [DATA_DIR] [CKPT_DIR] [LOG_DIR]
+# Env knobs: MAX_ITERS (default 11000), EVALS (default "3000 6000 9000"),
+# NAME (default apollo148), RESULTS (default /tmp/results_sim700).
 set -u
 cd "$(dirname "$0")/.."
 DATA=${1:-/tmp/sim700}
 CKPT=${2:-/tmp/ckpt_sim700}
 LOG=${3:-/tmp/quality}
-NAME=apollo148
+NAME=${NAME:-apollo148}
+MAX_ITERS=${MAX_ITERS:-11000}
+EVALS=${EVALS:-"3000 6000 9000"}
+RESULTS=${RESULTS:-/tmp/results_sim700}
 mkdir -p "$LOG"
 
 if [ ! -d "$DATA/input" ]; then
@@ -30,7 +35,7 @@ TRAIN_FLAGS="--dataroot $DATA/input --checkpoints_dir $CKPT --name $NAME \
  --batch_size 1 --lambda_A 5 --crop_size 148 148 148 --lambda_plane 1 1 1 \
  --lr_policy constant --randomize_projection_depth --projection_depth 10 \
  --precision bfloat16 --remat --save_by_iter --save_latest_freq 50 \
- --print_freq 50 --display_freq 1000000 --seed 0 --watchdog_secs 240"
+ --print_freq 25 --display_freq 1000000 --seed 0 --watchdog_secs 300"
 
 last_ckpt() {
   ls "$CKPT/$NAME"/iter_*_net_G_A.npz 2>/dev/null \
@@ -42,7 +47,7 @@ eval_at() {
   shift
   timeout 1800 python test_dice.py --dataroot "$DATA/input" \
     --dataroot_gt "$DATA/gt" \
-    --checkpoints_dir "$CKPT" --results_dir /tmp/results_sim700 --name $NAME \
+    --checkpoints_dir "$CKPT" --results_dir "$RESULTS" --name $NAME \
     --serial_batches --preprocess addColorChannel --dataset_mode diceImage \
     --netG unet_deconv --overlap 15 --dice_size 120 120 120 --normalize_intensity \
     --sat_level 0.25 99.75 --image_dimension 3 --model_suffix _A \
@@ -54,7 +59,7 @@ eval_at() {
 SEG=0
 while true; do
   P=$(last_ckpt); P=${P:-0}
-  if [ "$P" -ge 11000 ]; then break; fi
+  if [ "$P" -ge "$MAX_ITERS" ]; then break; fi
   SEG=$((SEG+1))
   if [ "$SEG" -gt 200 ]; then echo "too many segments, aborting" >> "$LOG/driver.log"; break; fi
   RESUME=""
@@ -64,10 +69,10 @@ while true; do
     >> "$LOG/train.log" 2>&1
   echo "segment rc=$? last=$(last_ckpt) $(date +%H:%M:%S)" >> "$LOG/driver.log"
   P2=$(last_ckpt); P2=${P2:-0}
-  for M in 3000 6000 9000; do
+  for M in $EVALS; do
     if [ "$P2" -ge "$M" ] && [ ! -f "$LOG/eval_$M.done" ]; then
       echo "--- eval at $M" >> "$LOG/driver.log"
-      eval_at $M >> "$LOG/driver.log" 2>&1
+      eval_at $M --save_volume >> "$LOG/driver.log" 2>&1
       touch "$LOG/eval_$M.done"
     fi
   done

@@ -13,12 +13,12 @@ from neuroclear_tpu.utils import tiffio
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, env_extra=None):
+def _run(args, env_extra=None, timeout=900):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                JAX_COMPILATION_CACHE_DIR=os.path.expanduser("~/.cache/jax_comp"))
     env.update(env_extra or {})
     return subprocess.run([sys.executable] + args, capture_output=True,
-                          text=True, cwd=REPO, env=env, timeout=900)
+                          text=True, cwd=REPO, env=env, timeout=timeout)
 
 
 @pytest.fixture(scope="module")
@@ -88,3 +88,52 @@ def test_train_onecube_and_test_dice_cli(tiny_data, tmp_path):
     assert "index.html" in pages and "<img" in pages["index.html"], \
         list(pages)
     assert "index_wholeimg.html" in pages and "<img" in pages["index_wholeimg.html"]
+
+
+@pytest.mark.skipif(os.environ.get("NEUROCLEAR_SLOW_TESTS", "0") != "1",
+                    reason="production-net CPU e2e: ~15-30 min of 1-core "
+                           "XLA compile; set NEUROCLEAR_SLOW_TESTS=1")
+def test_production_nets_cli_e2e(tiny_data, tmp_path):
+    """The PRODUCTION graph (unet_deconv + deep_linear_gen + basic PatchGAN)
+    end-to-end on CPU: train -> checkpoint -> test_dice (VERDICT r2 weak #6
+    — previously only the tiny-net configs were exercised in CI; the
+    production path was validated only by hardware quality studies)."""
+    ck = str(tmp_path / "ck")
+    r = _run([
+        "train_onecube.py", "--dataroot", str(tiny_data / "input"),
+        "--name", "prod", "--checkpoints_dir", ck,
+        "--dataset_mode", "singlevolume",
+        "--preprocess",
+        "random3Drotate_randomcrop_randomflip_addColorChannel_addBatchChannel",
+        "--model", "axial_to_lateral_gan_apollo",
+        "--netG", "unet_deconv", "--netG_B", "deep_linear_gen",
+        "--netD", "basic", "--gan_mode", "lsgan", "--init_type", "kaiming",
+        "--norm", "instance", "--lambda_A", "5",
+        "--crop_size", "32", "32", "32", "--lambda_plane", "1", "1", "1",
+        "--save_by_iter", "--save_latest_freq", "2", "--lr_policy", "constant",
+        "--randomize_projection_depth", "--projection_depth", "4",
+        "--print_freq", "1", "--display_freq", "1000", "--no_html",
+        "--display_id", "0", "--max_iters", "2", "--seed", "0"],
+        timeout=3000)
+    assert r.returncode == 0, r.stderr[-1200:]
+    assert os.path.exists(os.path.join(ck, "prod", "iter_2_net_G_A.npz"))
+
+    res = str(tmp_path / "res")
+    r = _run([
+        "test_dice.py", "--dataroot", str(tiny_data / "input"),
+        "--dataroot_gt", str(tiny_data / "gt"),
+        "--name", "prod", "--checkpoints_dir", ck, "--results_dir", res,
+        "--serial_batches", "--preprocess", "addColorChannel",
+        "--dataset_mode", "diceImage", "--netG", "unet_deconv",
+        "--overlap", "4", "--dice_size", "32", "32", "32",
+        "--normalize_intensity", "--image_dimension", "3",
+        "--model_suffix", "_A", "--save_volume", "--border_cut", "2",
+        "--skip_real", "--load_iter", "2"], timeout=3000)
+    assert r.returncode == 0, r.stderr[-1200:]
+    assert "psnr" in r.stdout and "ssim" in r.stdout
+    vols = []
+    for root, _, files in os.walk(res):
+        vols += [os.path.join(root, f) for f in files
+                 if f.startswith("output_volume") and f.endswith(".tif")]
+    assert vols
+    assert tiffio.imread(vols[0]).shape == (48, 48, 48)

@@ -156,3 +156,46 @@ def test_pallas_conv3d_parity():
         os.environ.pop("NEUROCLEAR_PALLAS_INTERPRET", None)
         os.environ.pop("NEUROCLEAR_PALLAS_CONV", None)
         importlib.reload(pc)
+
+
+def test_conv_zpack2_parity_and_grads():
+    """Output-z-pair packed conv (ops/conv_zpack.py) vs
+    lax.conv_general_dilated: forward parity and both gradients (the packed
+    kernel is rebuilt from w inside the op, so tied-weight gradients must
+    sum to the direct conv's dw)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuroclear_tpu.ops.conv_zpack import conv3d_zpack2, supported
+
+    rng = np.random.default_rng(0)
+    for cin, shape in [(64, (1, 6, 8, 16)), (128, (2, 4, 4, 16)),
+                       (1, (1, 8, 8, 8))]:
+        x = jnp.asarray(rng.normal(size=shape + (cin,)).astype(np.float32))
+        w = jnp.asarray((rng.normal(size=(3, 3, 3, cin, 64)) * 0.05)
+                        .astype(np.float32))
+        assert supported(x.shape, cin, 64, 3, 1, 1, 3)
+
+        def ref(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), ((1, 1),) * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        y_ref = ref(x, w)
+        y = conv3d_zpack2(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        g = jnp.asarray(rng.normal(size=y.shape).astype(np.float32))
+        dx_r, dw_r = jax.grad(lambda x, w: (ref(x, w) * g).sum(),
+                              argnums=(0, 1))(x, w)
+        dx, dw = jax.grad(lambda x, w: (conv3d_zpack2(x, w) * g).sum(),
+                          argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_r),
+                                   atol=2e-4, rtol=2e-4)
+    # odd D / other cout stay on the XLA path
+    assert not supported((1, 5, 8, 16, 64), 64, 64, 3, 1, 1, 3)
+    assert not supported((1, 6, 8, 16, 64), 64, 128, 3, 1, 1, 3)
