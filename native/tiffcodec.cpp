@@ -172,6 +172,38 @@ int tiff_read(const char* path, uint8_t* out) {
   return 0;
 }
 
+// Read pages [z0, z1) into `out` (caller allocates (z1-z0)*h*w*bits/8).
+// Powers the streaming-inference input path: decode of chunk i+1 overlaps
+// the device upload/compute of chunk i (parallel/dice_infer.py).
+int tiff_read_pages(const char* path, int64_t z0, int64_t z1, uint8_t* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  setvbuf(f, nullptr, _IOFBF, 8 << 20);
+  std::vector<PageInfo> pages;
+  if (!parse(f, &pages)) { fclose(f); return -2; }
+  if (z0 < 0 || z1 > static_cast<int64_t>(pages.size()) || z0 >= z1) {
+    fclose(f);
+    return -3;
+  }
+  uint8_t* dst = out;
+  for (int64_t i = z0; i < z1; ++i) {
+    const PageInfo& p = pages[i];
+    for (size_t s = 0; s < p.strip_offsets.size(); ++s) {
+      uint64_t cnt = s < p.strip_counts.size()
+          ? p.strip_counts[s]
+          : static_cast<uint64_t>(p.width) * p.height * (p.bits / 8);
+      if (fseek(f, static_cast<long>(p.strip_offsets[s]), SEEK_SET) != 0 ||
+          fread(dst, 1, cnt, f) != cnt) {
+        fclose(f);
+        return -4;
+      }
+      dst += cnt;
+    }
+  }
+  fclose(f);
+  return 0;
+}
+
 // Write a z*h*w stack as a multi-page baseline TIFF (one strip per page).
 // bits: 8, 16 or 32 (32 = IEEE float, SampleFormat=3).
 int tiff_write(const char* path, const uint8_t* data, int64_t z, int64_t h,

@@ -33,6 +33,12 @@ def _native():
                                        ctypes.POINTER(ctypes.c_int64),
                                        ctypes.POINTER(ctypes.c_int32)]
             lib.tiff_read.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+            try:
+                lib.tiff_read_pages.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_void_p]
+            except AttributeError:  # older .so without the paged API
+                pass
             lib.tiff_write.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
                                        ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int32,
@@ -61,6 +67,47 @@ def imread(path: str) -> np.ndarray:
     if len(pages) == 1:
         return pages[0]
     return np.stack(pages, axis=0)
+
+
+def probe(path: str):
+    """(shape, dtype) of a 3D stack WITHOUT reading pixel data, or None when
+    the native codec can't parse it (caller falls back to a full imread)."""
+    if path.endswith(".npy"):
+        try:
+            with open(path, "rb") as f:
+                ver = np.lib.format.read_magic(f)
+                shp, _, dt = np.lib.format._read_array_header(f, ver)
+            return shp, dt
+        except Exception:
+            return None
+    lib = _native()
+    if lib is None or not hasattr(lib, "tiff_read_pages"):
+        return None
+    shape = (ctypes.c_int64 * 3)()
+    bits = ctypes.c_int32()
+    if lib.tiff_probe(path.encode(), shape, ctypes.byref(bits)) != 0:
+        return None
+    dt = {8: np.uint8, 16: np.uint16, 32: np.float32}[bits.value]
+    return (shape[0], shape[1], shape[2]), np.dtype(dt)
+
+
+def imread_pages(path: str, z0: int, z1: int) -> np.ndarray:
+    """Read pages [z0, z1) of a 3D stack (native codec only — callers must
+    probe() first; the streaming inference pipeline uses this to overlap
+    TIFF decode with device upload)."""
+    lib = _native()
+    shape = (ctypes.c_int64 * 3)()
+    bits = ctypes.c_int32()
+    if (lib is None or not hasattr(lib, "tiff_read_pages")
+            or lib.tiff_probe(path.encode(), shape, ctypes.byref(bits)) != 0):
+        raise RuntimeError(f"paged read unsupported for {path}")
+    dt = {8: np.uint8, 16: np.uint16, 32: np.float32}[bits.value]
+    out = np.empty((z1 - z0, shape[1], shape[2]), dt)
+    rc = lib.tiff_read_pages(path.encode(), z0, z1,
+                             out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise RuntimeError(f"tiff_read_pages({path}, {z0}, {z1}) -> {rc}")
+    return out
 
 
 def imwrite(path: str, arr: np.ndarray) -> None:

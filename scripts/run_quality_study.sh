@@ -11,7 +11,10 @@
 #
 # Usage: scripts/run_quality_study.sh [DATA_DIR] [CKPT_DIR] [LOG_DIR]
 # Env knobs: MAX_ITERS (default 11000), EVALS (default "3000 6000 9000"),
-# NAME (default apollo148), RESULTS (default /tmp/results_sim700).
+# NAME (default apollo148), RESULTS (default /tmp/results_sim700),
+# MODEL_FLAGS (default: the apollo production recipe's model flags —
+# override for athena/dryops variants, e.g.
+#   MODEL_FLAGS="--model axial_to_lateral_gan_athena --conversion_plane yz xy").
 set -u
 cd "$(dirname "$0")/.."
 DATA=${1:-/tmp/sim700}
@@ -27,13 +30,16 @@ if [ ! -d "$DATA/input" ]; then
   python scripts/generate_synthetic.py --out "$DATA" --size 700 --seed 0
 fi
 
+MODEL_FLAGS=${MODEL_FLAGS:-"--model axial_to_lateral_gan_apollo \
+ --lambda_plane 1 1 1 --randomize_projection_depth --projection_depth 10"}
+
 TRAIN_FLAGS="--dataroot $DATA/input --checkpoints_dir $CKPT --name $NAME \
  --dataset_mode singlevolume \
  --preprocess random3Drotate_randomcrop_randomflip_addColorChannel_addBatchChannel \
- --model axial_to_lateral_gan_apollo --netG unet_deconv --netG_B deep_linear_gen \
+ $MODEL_FLAGS --netG unet_deconv --netG_B deep_linear_gen \
  --netD basic --gan_mode lsgan --init_type kaiming --norm instance \
- --batch_size 1 --lambda_A 5 --crop_size 148 148 148 --lambda_plane 1 1 1 \
- --lr_policy constant --randomize_projection_depth --projection_depth 10 \
+ --batch_size 1 --lambda_A 5 --crop_size 148 148 148 \
+ --lr_policy constant \
  --precision bfloat16 --remat --save_by_iter --save_latest_freq 50 \
  --print_freq 25 --display_freq 1000000 --seed 0 --watchdog_secs 300"
 

@@ -100,3 +100,24 @@ def test_get_data_offline(tmp_path):
 
     with pytest.raises(RuntimeError):
         g.get(str(tmp_path), dataset="http://example.com/x.tar.gz")
+
+
+def test_tiffio_paged_read(tmp_path):
+    """probe() reads shape/dtype without pixel IO; imread_pages returns the
+    exact page range (native codec; powers decode/upload overlap)."""
+    import numpy as np
+
+    from neuroclear_tpu.utils import tiffio
+
+    v = (np.arange(4 * 5 * 6) * 7 % 65536).astype(np.uint16).reshape(4, 5, 6)
+    p = str(tmp_path / "stack.tif")
+    tiffio.imwrite(p, v)
+    pr = tiffio.probe(p)
+    if pr is None:  # native codec unavailable in this environment
+        import pytest
+
+        pytest.skip("native tiff codec not built")
+    shape, dt = pr
+    assert tuple(shape) == (4, 5, 6) and dt == np.uint16
+    np.testing.assert_array_equal(tiffio.imread_pages(p, 1, 3), v[1:3])
+    np.testing.assert_array_equal(tiffio.imread_pages(p, 0, 4), v)
