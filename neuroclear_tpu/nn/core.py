@@ -130,6 +130,28 @@ class Conv:
         # half-width cout=64 emitter.  NEUROCLEAR_ZPACK=0 opts out.
         if (self.dim == 3 and self.k == 3 and self.stride == 1
                 and self.pad == 1 and x.dtype == jnp.bfloat16):
+            # W-pair lane packing (ops/conv_wpack.py): folds the minor
+            # spatial dim into the channel lanes on BOTH sides via free
+            # reshapes, fixing the measured limiter (cin-side lane padding,
+            # docs/PERFORMANCE.md round-3 study).  NEUROCLEAR_WPACK=1
+            # selects the XLA packed formulation; NEUROCLEAR_PALLAS_WCONV=1
+            # the Pallas kernel of the same math.
+            from ..ops import conv_wpack as wp
+            from ..ops import pallas_wconv as pwc
+
+            if pwc.supported(x.shape, self.in_c, self.out_c, self.k,
+                             self.stride, self.pad, self.dim):
+                y = pwc.conv3d_wpack_pallas(x, params["w"].astype(x.dtype))
+                if self.bias:
+                    y = y + params["b"].astype(y.dtype)
+                return y
+            if (wp.ENABLED and wp.supported(x.shape, self.in_c, self.out_c,
+                                            self.k, self.stride, self.pad,
+                                            self.dim)):
+                y = wp.conv3d_wpack2(x, params["w"].astype(x.dtype))
+                if self.bias:
+                    y = y + params["b"].astype(y.dtype)
+                return y
             from ..ops import conv_zpack as zp
 
             if (zp.ENABLED and zp.supported(x.shape, self.in_c, self.out_c,

@@ -1,0 +1,237 @@
+"""Pallas TPU kernel for the W-pair lane-packed 3x3x3 convolution.
+
+Same math as ops/conv_wpack.py (see its docstring for the derivation): the
+minor spatial dim W is folded into the channel lanes on both sides, turning
+the U-Net's hot cout=64 convolutions (reference models/networks.py:478-538)
+into 18 fully lane-dense (K = 2*cin, N = 2*cout = 128) MXU matmuls per
+(z, row-strip) tile at 75% useful FLOPs.
+
+This kernel exists as the measured fallback for the case where XLA's conv
+emitter does not reach machine rate on the packed (3,3,2) formulation.  It
+is written layout-aware where round 2's attempt (ops/pallas_conv.py) was
+rejected by Mosaic:
+
+  * the HBM input's two minor dims are (Sp, 2*cin) with Sp padded to the
+    sublane tile (16 for bf16) and 2*cin a lane multiple (128/256) — every
+    DMA window is tile-aligned;
+  * all kernel-side slicing is on LEADING dims (z, y taps), except one
+    static +-1 sublane shift on the packed-S dim, materialised once per
+    program (two shifted views) rather than per tap.
+
+Public entry `conv3d_wpack_pallas` carries a custom VJP whose backward is
+the XLA transposed-conv formulation, so it trains under jax.grad.
+Enable with NEUROCLEAR_PALLAS_WCONV=1 (auto-falls back to the XLA packed
+formulation off-TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from .conv_wpack import conv3d_wpack2, pack_weights
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+ENABLED = os.environ.get("NEUROCLEAR_PALLAS_WCONV", "0") == "1"
+_INTERPRET = os.environ.get("NEUROCLEAR_PALLAS_INTERPRET", "0") == "1"
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pick_th(h: int, sp: int, lanes: int, itemsize: int):
+    """Largest row-strip height dividing h that keeps the working set
+    (haloed input strip x2 shifted views + f32 accumulator) under budget."""
+    best = None
+    for th in range(1, min(h, 48) + 1):
+        if h % th:
+            continue
+        strip = 3 * (th + 2) * sp * lanes * itemsize
+        acc = th * (sp - 1) * 128 * 4
+        # 2 DMA slots + 2 materialised shifted views + f32 accumulator
+        if 4 * strip + acc <= _VMEM_BUDGET:
+            best = th
+    return best
+
+
+def _plan(h: int, sp: int, lanes: int, itemsize: int):
+    """Best (padded_h, th) strip plan.  H itself may only admit tiny strip
+    heights (148 = 4 * 37: th=37 blows the VMEM budget at Sp=96, leaving
+    th=4 whose per-program DMA/launch overhead dominates — measured 31 vs
+    65 TFLOP/s).  Padding a few garbage rows buys a divisor-rich height;
+    cost model = padding waste x halo DMA amplification."""
+    best = None
+    for hp in range(h, h + 33):
+        th = _pick_th(hp, sp, lanes, itemsize)
+        if th is None:
+            continue
+        cost = (hp / h) * ((th + 2) / th)
+        if best is None or cost < best[0] - 1e-9:
+            best = (cost, hp, th)
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
+def supported(x_shape, cin: int, cout: int, k: int, stride: int,
+              pad: int, dim: int) -> bool:
+    if not (_HAS_PALLAS and ENABLED):
+        return False
+    if not (_on_tpu() or _INTERPRET):
+        return False
+    if dim != 3 or k != 3 or stride != 1 or pad != 1 or len(x_shape) != 5:
+        return False
+    b, d, h, w, _ = x_shape
+    if w % 2 or w < 4 or h < 2:
+        return False
+    if cout != 64 or cin not in (64, 128):
+        return False
+    to = (w // 2 + 15) // 16 * 16
+    sp = max((w + 2) // 2, to + 1)
+    sp = (sp + 15) // 16 * 16
+    return _plan(h, sp, 2 * cin, 2) is not None
+
+
+def _kernel(x_hbm, w_ref, o_ref, scratch, sem, *, th, To, Sp, L, D, NH):
+    """One program: output rows [hi*th, hi*th+th) of z-slice z of batch b.
+
+    To is the compute extent of the packed-S dim, padded up to the sublane
+    tile so Mosaic accepts the shifted views; the [T, To) tail is garbage
+    that the wrapper crops.  The input strip is double-buffered: program n
+    starts the DMA for program n+1 before computing, so the HBM fetch
+    overlaps the 18 matmuls (TPU grids run sequentially, so scratch state
+    carries across programs)."""
+    p = pl.program_id(0)  # b * D + z
+    hi = pl.program_id(1)
+    n = p * NH + hi
+
+    def dma_for(m, slot):
+        bb = m // (D * NH)
+        zz = (m // NH) % D
+        hh = m % NH
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(zz, 3), pl.ds(hh * th, th + 2)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(n + 1 < pl.num_programs(0) * NH)
+    def _():
+        dma_for(n + 1, (n + 1) % 2).start()
+
+    dma_for(n, n % 2).wait()
+    buf = scratch.at[n % 2]
+
+    # the only sublane-dim slicing, done once: the two s-shifted views
+    sv = (buf[:, :, 0:To, :], buf[:, :, 1:1 + To, :])
+
+    acc = jnp.zeros((th, To, 128), jnp.float32)
+    j = 0
+    for dz in range(3):
+        for dy in range(3):
+            for ds in range(2):
+                lhs = sv[ds][dz, dy:dy + th]
+                acc = acc + jax.lax.dot_general(
+                    lhs, w_ref[j],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                j += 1
+    o_ref[:] = acc.reshape(1, th, To, 128).astype(o_ref.dtype)
+
+
+def _conv_pallas(x, w):
+    """x: (B, D, H, W, cin) bf16; w: (3, 3, 3, cin, cout=64)."""
+    B, D, H, W, cin = x.shape
+    L = 2 * cin
+    T = W // 2
+    S = (W + 2) // 2
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    To = (T + sub - 1) // sub * sub
+    Sp = (max(S, To + 1) + sub - 1) // sub * sub
+    Hp, th = _plan(H, Sp, L, x.dtype.itemsize)
+    dt = x.dtype
+
+    xp = jnp.pad(x,
+                 ((0, 0), (1, 1), (1, Hp - H + 1), (1, 2 * Sp - W - 1),
+                  (0, 0)))
+    X = xp.reshape(B, D + 2, Hp + 2, Sp, L)
+    w2 = pack_weights(w.astype(dt)).reshape(18, L, 128)
+
+    kernel = functools.partial(_kernel, th=th, To=To, Sp=Sp, L=L, D=D,
+                               NH=Hp // th)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * D, Hp // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # packed x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, To, 128),
+            lambda p, hi: (p, hi, 0, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * D, Hp, To, 128), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, th + 2, Sp, L), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_INTERPRET and not _on_tpu(),
+    )(X, w2)
+    return out[:, :H, :T, :].reshape(B, D, H, W, 64)
+
+
+@jax.custom_vjp
+def conv3d_wpack_pallas(x, w):
+    """3x3x3 stride-1 SAME conv, NDHWC — W-pair packed Pallas kernel with
+    an XLA transposed-conv backward (trains under jax.grad)."""
+    return _conv_pallas(x, w)
+
+
+def _fwd(x, w):
+    return _conv_pallas(x, w), (x, w)
+
+
+def _bwd(res, g):
+    x, w = res
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx = jax.lax.conv_general_dilated(
+        g, w_flip.astype(g.dtype), window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    dw = jax.lax.conv_general_dilated(
+        xp.transpose(4, 1, 2, 3, 0),      # Cin as batch
+        g.transpose(1, 2, 3, 0, 4),       # B as input feature
+        window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    dw = dw.transpose(1, 2, 3, 0, 4)      # (3,3,3,Cin,Cout)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv3d_wpack_pallas.defvjp(_fwd, _bwd)
+
+
+def conv3d_wpack_auto(x, w):
+    """Pallas on TPU when enabled; XLA packed formulation elsewhere."""
+    if supported(x.shape, x.shape[-1], w.shape[-1], 3, 1, 1, 3):
+        return conv3d_wpack_pallas(x, w)
+    return conv3d_wpack2(x, w)

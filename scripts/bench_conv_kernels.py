@@ -32,7 +32,9 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+from neuroclear_tpu.ops.conv_wpack import conv3d_wpack2  # noqa: E402
 from neuroclear_tpu.ops.conv_zpack import conv3d_zpack2  # noqa: E402
+from neuroclear_tpu.ops import pallas_wconv  # noqa: E402
 
 
 def conv_xla(x, w):
@@ -94,7 +96,12 @@ def main():
             w = jnp.asarray(
                 rng.standard_normal((3, 3, 3, cin, cout)) * 0.05, dtype)
             flops = 2 * size ** 3 * 27 * cin * cout
-            for name, fn in (("xla", conv_xla), ("zpack2", conv3d_zpack2)):
+            fns = [("xla", conv_xla), ("zpack2", conv3d_zpack2),
+                   ("wpack2", conv3d_wpack2)]
+            if pallas_wconv.supported((1, size, size, size, cin),
+                                      cin, cout, 3, 1, 1, 3):
+                fns.append(("wpallas", pallas_wconv.conv3d_wpack_pallas))
+            for name, fn in fns:
                 try:
                     t, _ = timed(fn, x, w, reps)
                     print(f"{size}^3 cin{cin}->64 {name:7s}: "

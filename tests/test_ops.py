@@ -199,3 +199,94 @@ def test_conv_zpack2_parity_and_grads():
     # odd D / other cout stay on the XLA path
     assert not supported((1, 5, 8, 16, 64), 64, 64, 3, 1, 1, 3)
     assert not supported((1, 6, 8, 16, 64), 64, 128, 3, 1, 1, 3)
+
+
+def test_conv_wpack2_parity_and_grads():
+    """W-pair lane-packed conv (ops/conv_wpack.py) vs
+    lax.conv_general_dilated: forward parity and both gradients.  The
+    packing itself is a free reshape (W, C are the NDHWC minor dims); the
+    packed kernel is rebuilt from w inside the op so tied-weight gradients
+    must sum to the direct conv's dw."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuroclear_tpu.ops.conv_wpack import conv3d_wpack2, supported
+
+    rng = np.random.default_rng(1)
+    for cin, shape in [(64, (1, 6, 8, 16)), (128, (2, 4, 4, 12))]:
+        x = jnp.asarray(rng.normal(size=shape + (cin,)).astype(np.float32))
+        w = jnp.asarray((rng.normal(size=(3, 3, 3, cin, 64)) * 0.05)
+                        .astype(np.float32))
+        assert supported(x.shape, cin, 64, 3, 1, 1, 3)
+
+        def ref(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), ((1, 1),) * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        y_ref = ref(x, w)
+        y = conv3d_wpack2(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        g = jnp.asarray(rng.normal(size=y.shape).astype(np.float32))
+        dx_r, dw_r = jax.grad(lambda x, w: (ref(x, w) * g).sum(),
+                              argnums=(0, 1))(x, w)
+        dx, dw = jax.grad(lambda x, w: (conv3d_wpack2(x, w) * g).sum(),
+                          argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_r),
+                                   atol=2e-4, rtol=2e-4)
+    # odd W / other cout / cin outside {64,128} stay on the XLA path
+    assert not supported((1, 6, 8, 15, 64), 64, 64, 3, 1, 1, 3)
+    assert not supported((1, 6, 8, 16, 64), 64, 128, 3, 1, 1, 3)
+    assert not supported((1, 6, 8, 16, 32), 32, 64, 3, 1, 1, 3)
+
+
+def test_conv_wpack_pallas_interpret_parity():
+    """The Pallas W-pack kernel (ops/pallas_wconv.py) matches the direct
+    conv in interpret mode, forward and via its custom VJP."""
+    import os
+
+    import numpy as np
+
+    os.environ["NEUROCLEAR_PALLAS_WCONV"] = "1"
+    os.environ["NEUROCLEAR_PALLAS_INTERPRET"] = "1"
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from neuroclear_tpu.ops import pallas_wconv
+
+    importlib.reload(pallas_wconv)
+    try:
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(1, 4, 6, 8, 64)).astype(np.float32))
+        w = jnp.asarray((rng.normal(size=(3, 3, 3, 64, 64)) * 0.05)
+                        .astype(np.float32))
+        assert pallas_wconv.supported(x.shape, 64, 64, 3, 1, 1, 3)
+
+        def ref(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), ((1, 1),) * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        y = pallas_wconv.conv3d_wpack_pallas(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref(x, w)),
+                                   atol=2e-5, rtol=2e-5)
+        dx_r, dw_r = jax.grad(
+            lambda x, w: (ref(x, w) ** 2).sum(), argnums=(0, 1))(x, w)
+        dx, dw = jax.grad(
+            lambda x, w: (pallas_wconv.conv3d_wpack_pallas(x, w) ** 2).sum(),
+            argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_r),
+                                   atol=2e-4, rtol=2e-4)
+    finally:
+        os.environ.pop("NEUROCLEAR_PALLAS_WCONV", None)
+        os.environ.pop("NEUROCLEAR_PALLAS_INTERPRET", None)
+        importlib.reload(pallas_wconv)
