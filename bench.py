@@ -52,6 +52,11 @@ def bench_inference(size: int, tile_batch: int, roi: int, ov: int,
     from neuroclear_tpu.parallel.dice_infer import DiceInferencePipeline
     from neuroclear_tpu.utils.imageops import pad_for_dicing
 
+    # forward-only leg: the W-pair Pallas conv applies (see ops/pallas_wconv)
+    from neuroclear_tpu.ops import pallas_wconv
+
+    pallas_wconv.set_enabled(True)
+
     rng = np.random.default_rng(0)
     vol = rng.integers(0, 65535, (size, size, size), dtype=np.uint16)
     vp = pad_for_dicing(vol, roi, ov)
@@ -93,6 +98,11 @@ def bench_train(crop: int, remat: bool) -> float:
 
     from neuroclear_tpu.models.axial_to_lateral_gan_apollo_model import (
         AxialToLateralGANApolloModel)
+    from neuroclear_tpu.ops import pallas_wconv
+
+    # training scope: packed-layout temporaries OOM beside the 148^3 remat
+    # step (ops/pallas_wconv.py) — measure the production (XLA-conv) path
+    pallas_wconv.set_enabled(False)
 
     opt = argparse.Namespace(
         isTrain=True, image_dimension=3, checkpoints_dir="/tmp/bench_ck",

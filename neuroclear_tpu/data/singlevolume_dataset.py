@@ -87,6 +87,28 @@ class SingleVolumeDataset(BaseDataset):
         )
         return out[None, ..., None]
 
+    def sample_batch(self, rng, n: int):
+        """n augmented crops in ONE compiled program -> (n, cz, cy, cx, 1).
+
+        Mirrors parallel.train_parallel.DataParallel.batch_sampler (vmap of
+        the fused chain over per-crop PRNG keys) without the mesh sharding —
+        feeds the single-chip --grad_accum path."""
+        import jax
+
+        if getattr(self, "_batch_sample", None) is None \
+                or self._batch_sample_n != n:
+            from ..ops.augment import augment_core
+
+            cfg = self.device_sampling_config()
+
+            @jax.jit
+            def _sample(rng, v):
+                keys = jax.random.split(rng, n)
+                return jax.vmap(lambda k: augment_core(k, v, **cfg))(keys)
+
+            self._batch_sample, self._batch_sample_n = _sample, n
+        return self._batch_sample(rng, self.device_volume())[..., None]
+
     # --- host parity path -----------------------------------------------------
 
     def __getitem__(self, index):

@@ -86,7 +86,8 @@ class AxialToLateralGANApolloModel(BaseModel):
                 projection_depth=opt.projection_depth,
                 min_projection_depth=opt.min_projection_depth,
                 beta1=opt.beta1, precision=getattr(opt, "precision", "float32"),
-                remat=getattr(opt, "remat", False))
+                remat=getattr(opt, "remat", False),
+                grad_accum=getattr(opt, "grad_accum", 1))
             self.base_lr = opt.lr
             self.optim = gc.make_adam(opt.beta1)
             self.opt_state = {
@@ -165,7 +166,7 @@ def make_apollo_step(nets, optim, cfg):
         ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg, nets["G_A"])
         gb_apply = gc.maybe_remat(nets["G_B"].apply, cfg, nets["G_B"])
 
-        def g_loss_fn(gp):
+        def g_loss_fn(gp, real):
             fake = ga_apply(gp["G_A"], real)
             rec = gb_apply(gp["G_B"], fake)
 
@@ -192,17 +193,10 @@ def make_apollo_step(nets, optim, cfg):
                    "cycle": cycle, "fake": fake, "rec": rec}
             return total, aux
 
-        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
-        g_updates, og = optim.update(g_grads, opt_state["G"])
-        g_params = gc.apply_updates(g_params, g_updates, lr)
-
-        # D step uses fake/rec from *before* the G update, like the reference
-        # (forward() precedes optimizer_G.step(); D re-probes detached copies).
-        fake = jax.lax.stop_gradient(g_aux.pop("fake"))
-        rec = jax.lax.stop_gradient(g_aux.pop("rec"))
-
         # ---- D step (backward_D_* parity, apollo_model.py:198-253) --------
-        def d_loss_fn(dp):
+        # uses fake/rec from *before* the G update, like the reference
+        # (forward() precedes optimizer_G.step(); D re-probes detached copies).
+        def d_loss_fn(dp, real, fake, rec):
             def ap(k):
                 return lambda x: nets[k].apply(dp[k], x)
 
@@ -231,11 +225,39 @@ def make_apollo_step(nets, optim, cfg):
                    "D_B_axial": (d_b_ax1 + d_b_ax2) * 0.5}
             return total, aux
 
-        (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
-        d_updates, od = optim.update(d_grads, opt_state["D"])
+        if cfg.grad_accum <= 1:
+            (_, g_aux), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(g_params, real)
+            g_updates, og = optim.update(g_grads, opt_state["G"])
+            g_params = gc.apply_updates(g_params, g_updates, lr)
+            fake = jax.lax.stop_gradient(g_aux.pop("fake"))
+            rec = jax.lax.stop_gradient(g_aux.pop("rec"))
+            (_, d_aux), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(d_params, real, fake, rec)
+            d_updates, od = optim.update(d_grads, opt_state["D"])
+            d_params = gc.apply_updates(d_params, d_updates, lr)
+            losses = {**g_aux, **d_aux}
+            return g_params, d_params, {"G": og, "D": od}, losses, fake, rec
+
+        # ---- sequential batch-N accumulation (cfg.grad_accum docstring) ---
+        # `real` is (N, z, y, x, 1); every microbatch reuses this step's
+        # probe keys/depth and the pre-update params, and grads are averaged
+        # before ONE Adam update — the exact per-device math of the mesh DP
+        # step, executed serially so one chip can run (and so a 1-chip run
+        # certifies) the N-chip batch recipe.
+        n = cfg.grad_accum
+        g_grads, d_grads, (fake, rec), auxs = gc.grad_accum_scan(
+            g_loss_fn, d_loss_fn, g_params, d_params, real,
+            ("fake", "rec"), cfg.compute_dtype)
+
+        g_updates, og = optim.update(
+            jax.tree.map(lambda g: g / n, g_grads), opt_state["G"])
+        g_params = gc.apply_updates(g_params, g_updates, lr)
+        d_updates, od = optim.update(
+            jax.tree.map(lambda g: g / n, d_grads), opt_state["D"])
         d_params = gc.apply_updates(d_params, d_updates, lr)
 
-        losses = {**g_aux, **d_aux}
+        losses = jax.tree.map(lambda x: x.mean(0), auxs)
         return g_params, d_params, {"G": og, "D": od}, losses, fake, rec
 
     return step

@@ -86,7 +86,8 @@ class AxialToLateralGANAthenaModel(BaseModel):
                                         lambda_plane=tuple(opt.lambda_plane),
                                         beta1=opt.beta1,
                                         precision=getattr(opt, "precision", "float32"),
-                                        remat=getattr(opt, "remat", False))
+                                        remat=getattr(opt, "remat", False),
+                                        grad_accum=getattr(opt, "grad_accum", 1))
             self.base_lr = opt.lr
             self.optim = gc.make_adam(opt.beta1)
             self.opt_state = {
@@ -141,7 +142,7 @@ def make_athena_step(nets, optim, cfg, axes):
         ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg, nets["G_A"])
         gb_apply = gc.maybe_remat(nets["G_B"].apply, cfg, nets["G_B"])
 
-        def g_loss_fn(gp):
+        def g_loss_fn(gp, real):
             fake = ga_apply(gp["G_A"], real)
             rec = gb_apply(gp["G_B"], fake)
             g_a_xy = gc.g_gan(gc.probe_all_slices(fake, target_ax, d_frozen["D_A_xy"]),
@@ -165,15 +166,9 @@ def make_athena_step(nets, optim, cfg, axes):
                    "cycle_A": cycle, "fake": fake, "rec": rec}
             return total, aux
 
-        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
-        g_updates, og = optim.update(g_grads, opt_state["G"])
-        g_params = gc.apply_updates(g_params, g_updates, lr)
-
-        fake = jax.lax.stop_gradient(g_aux.pop("fake"))
-        rec = jax.lax.stop_gradient(g_aux.pop("rec"))
-
         # ---- D step (backward_D_*, athena_model.py:219-238) ---------------
-        def d_loss_fn(dp):
+        # probes fake/rec from *before* the G update (reference ordering).
+        def d_loss_fn(dp, real, fake, rec):
             def ap(k):
                 return lambda x: nets[k].apply(dp[k], x)
 
@@ -194,11 +189,32 @@ def make_athena_step(nets, optim, cfg, axes):
                    "D_B_xy": d_b_xy, "D_B_yz": d_b_yz, "D_B_xz": d_b_xz}
             return total, aux
 
-        (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
-        d_updates, od = optim.update(d_grads, opt_state["D"])
-        d_params = gc.apply_updates(d_params, d_updates, lr)
+        if cfg.grad_accum <= 1:
+            (_, g_aux), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(g_params, real)
+            g_updates, og = optim.update(g_grads, opt_state["G"])
+            g_params = gc.apply_updates(g_params, g_updates, lr)
+            fake = jax.lax.stop_gradient(g_aux.pop("fake"))
+            rec = jax.lax.stop_gradient(g_aux.pop("rec"))
+            (_, d_aux), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(d_params, real, fake, rec)
+            d_updates, od = optim.update(d_grads, opt_state["D"])
+            d_params = gc.apply_updates(d_params, d_updates, lr)
+            losses = {**g_aux, **d_aux}
+            return g_params, d_params, {"G": og, "D": od}, losses, fake, rec
 
-        losses = {**g_aux, **d_aux}
+        # batch-N DP-step math on one chip (gan_common.grad_accum_scan)
+        n = cfg.grad_accum
+        g_grads, d_grads, (fake, rec), auxs = gc.grad_accum_scan(
+            g_loss_fn, d_loss_fn, g_params, d_params, real,
+            ("fake", "rec"), cfg.compute_dtype)
+        g_updates, og = optim.update(
+            jax.tree.map(lambda g: g / n, g_grads), opt_state["G"])
+        g_params = gc.apply_updates(g_params, g_updates, lr)
+        d_updates, od = optim.update(
+            jax.tree.map(lambda g: g / n, d_grads), opt_state["D"])
+        d_params = gc.apply_updates(d_params, d_updates, lr)
+        losses = jax.tree.map(lambda x: x.mean(0), auxs)
         return g_params, d_params, {"G": og, "D": od}, losses, fake, rec
 
     return step

@@ -62,7 +62,8 @@ class AxialToLateralGANDryopsModel(BaseModel):
                 projection_depth=opt.projection_depth,
                 min_projection_depth=opt.min_projection_depth, beta1=opt.beta1,
                 precision=getattr(opt, "precision", "float32"),
-                remat=getattr(opt, "remat", False))
+                remat=getattr(opt, "remat", False),
+                grad_accum=getattr(opt, "grad_accum", 1))
             self.base_lr = opt.lr
             self.optim = gc.make_adam(opt.beta1)
             self.opt_state = {
@@ -113,7 +114,7 @@ def make_dryops_step(nets, optim, cfg):
 
         ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg, nets["G_A"])
 
-        def g_loss_fn(gp):
+        def g_loss_fn(gp, real):
             fake = ga_apply(gp["G_A"], real)
             g_a_lat = gc.g_gan(gc.probe_proj(kg[0], fake, LAT, depth,
                                              d_frozen["D_A_lateral"]), cfg) * lam_t
@@ -125,13 +126,8 @@ def make_dryops_step(nets, optim, cfg):
             return g_a, {"G_A": g_a, "G_A_lateral": g_a_lat, "G_A_axial": g_a_ax,
                          "fake": fake}
 
-        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
-        g_updates, og = optim.update(g_grads, opt_state["G"])
-        g_params = gc.apply_updates(g_params, g_updates, lr)
-
-        fake = jax.lax.stop_gradient(g_aux.pop("fake"))
-
-        def d_loss_fn(dp):
+        # D probes the fake from *before* the G update (reference ordering).
+        def d_loss_fn(dp, real, fake):
             def ap(k):
                 return lambda x: nets[k].apply(dp[k], x)
 
@@ -148,11 +144,31 @@ def make_dryops_step(nets, optim, cfg):
             return total, {"D_A_lateral": d_a_lat,
                            "D_A_axial": (d_a_ax1 + d_a_ax2) * 0.5}
 
-        (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
-        d_updates, od = optim.update(d_grads, opt_state["D"])
-        d_params = gc.apply_updates(d_params, d_updates, lr)
+        if cfg.grad_accum <= 1:
+            (_, g_aux), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(g_params, real)
+            g_updates, og = optim.update(g_grads, opt_state["G"])
+            g_params = gc.apply_updates(g_params, g_updates, lr)
+            fake = jax.lax.stop_gradient(g_aux.pop("fake"))
+            (_, d_aux), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(d_params, real, fake)
+            d_updates, od = optim.update(d_grads, opt_state["D"])
+            d_params = gc.apply_updates(d_params, d_updates, lr)
+            losses = {**g_aux, **d_aux}
+            return g_params, d_params, {"G": og, "D": od}, losses, fake
 
-        losses = {**g_aux, **d_aux}
+        # batch-N DP-step math on one chip (gan_common.grad_accum_scan)
+        n = cfg.grad_accum
+        g_grads, d_grads, (fake,), auxs = gc.grad_accum_scan(
+            g_loss_fn, d_loss_fn, g_params, d_params, real,
+            ("fake",), cfg.compute_dtype)
+        g_updates, og = optim.update(
+            jax.tree.map(lambda g: g / n, g_grads), opt_state["G"])
+        g_params = gc.apply_updates(g_params, g_updates, lr)
+        d_updates, od = optim.update(
+            jax.tree.map(lambda g: g / n, d_grads), opt_state["D"])
+        d_params = gc.apply_updates(d_params, d_updates, lr)
+        losses = jax.tree.map(lambda x: x.mean(0), auxs)
         return g_params, d_params, {"G": og, "D": od}, losses, fake
 
     return step

@@ -66,6 +66,12 @@ class GanStepConfig:
     beta1: float = 0.1
     precision: str = "float32"  # compute dtype; params/Adam stay f32
     remat: bool = False  # jax.checkpoint the generators (fit big crops)
+    # single-chip execution of the batch-N data-parallel recipe: N crops per
+    # optimizer step, gradients accumulated sequentially (lax.scan) with the
+    # per-step probe keys shared across microbatches — exactly the math of
+    # the mesh DP step (replicated keys, mean-of-per-sample grads), so a
+    # 1-chip run validates the N-chip recipe's quality trajectory.
+    grad_accum: int = 1
 
     @property
     def lambda_norm(self):
@@ -103,3 +109,35 @@ def d_pair(pred_real, pred_fake, cfg):
     """(GAN(real, True) + GAN(fake, False)) * 0.5 — backward_D_* parity."""
     return (gan_loss(pred_real, True, cfg.gan_mode)
             + gan_loss(pred_fake, False, cfg.gan_mode)) * 0.5
+
+
+def grad_accum_scan(g_loss_fn, d_loss_fn, g_params, d_params, real,
+                    visual_keys, compute_dtype):
+    """Interleaved G/D microbatch gradient accumulation (GanStepConfig.
+    grad_accum): scan over real's leading axis, evaluating BOTH grads at the
+    pre-update params (identical math to the separate-loops form, since the
+    reference's D step re-probes detached pre-G-update tensors) and summing
+    them; only the last microbatch's visuals ride the carry — stacking all N
+    at 148^3 beside the remat footprint measured RESOURCE_EXHAUSTED.
+
+    g_loss_fn(gp, real_1) -> (total, aux) where aux contains visual_keys;
+    d_loss_fn(dp, real_1, *visuals) -> (total, aux).
+    Returns (g_grad_sum, d_grad_sum, visuals_tuple, stacked_aux)."""
+
+    def micro(carry, real_i):
+        g_acc, d_acc, _ = carry
+        (_, g_aux), gi = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_params, real_i[None])
+        vis = tuple(jax.lax.stop_gradient(g_aux.pop(k)) for k in visual_keys)
+        (_, d_aux), di = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_params, real_i[None], *vis)
+        g_acc = jax.tree.map(jnp.add, g_acc, gi)
+        d_acc = jax.tree.map(jnp.add, d_acc, di)
+        return (g_acc, d_acc, vis), {**g_aux, **d_aux}
+
+    shape1 = (1,) + real.shape[1:]
+    zero = (jax.tree.map(jnp.zeros_like, g_params),
+            jax.tree.map(jnp.zeros_like, d_params),
+            tuple(jnp.zeros(shape1, compute_dtype) for _ in visual_keys))
+    (g_grads, d_grads, vis), auxs = jax.lax.scan(micro, zero, real)
+    return g_grads, d_grads, vis, auxs

@@ -42,8 +42,21 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-ENABLED = os.environ.get("NEUROCLEAR_PALLAS_WCONV", "0") == "1"
+# Tri-state enable: env "1" forces on, "0" forces off; unset defers to the
+# runtime switch, which the forward-only surfaces (test_dice, bench) flip on.
+# Not default-on for training: the packed-layout temporaries (~1.5 GB peak
+# at 148^3) OOM next to the ~15 GB remat train step (measured, RESOURCE_
+# EXHAUSTED); opt in with the env var for smaller crops.
+_ENV = os.environ.get("NEUROCLEAR_PALLAS_WCONV")
+ENABLED = _ENV == "1"
 _INTERPRET = os.environ.get("NEUROCLEAR_PALLAS_INTERPRET", "0") == "1"
+
+
+def set_enabled(on: bool) -> None:
+    """Runtime enable (used by forward-only CLIs); env var overrides."""
+    global ENABLED
+    if _ENV is None:
+        ENABLED = bool(on)
 
 _VMEM_BUDGET = 10 * 1024 * 1024
 

@@ -65,6 +65,11 @@ class TrainOptions(BaseOptions):
                             help="rematerialize generator activations in the G step "
                                  "(fit larger crops, e.g. athena at 148^3, at ~30%% "
                                  "extra generator FLOPs)")
+        parser.add_argument("--grad_accum", type=int, default=1,
+                            help="accumulate gradients over N crops per optimizer "
+                                 "step (sequential on one chip; exact math of the "
+                                 "N-device data-parallel step, so a 1-chip run "
+                                 "certifies the N-chip batch recipe)")
         parser.add_argument("--watchdog_secs", type=int, default=0,
                             help="exit with code 42 if no training progress for this "
                                  "many seconds (a hung device client can otherwise "

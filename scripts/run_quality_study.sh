@@ -15,6 +15,11 @@
 # MODEL_FLAGS (default: the apollo production recipe's model flags —
 # override for athena/dryops variants, e.g.
 #   MODEL_FLAGS="--model axial_to_lateral_gan_athena --conversion_plane yz xy").
+# Pacing knobs (defaults = the batch-1 recipe; the --grad_accum N recipe
+# needs ~Nx smaller values since each "iter" is N crops):
+#   SEG_ITERS (500) iters per segment, SAVE_FREQ (50), PRINT_FREQ (25),
+#   WATCHDOG (300), SEG_TIMEOUT (1500 s), EXTRA_TRAIN_FLAGS ("" — e.g.
+#   "--grad_accum 8").
 set -u
 cd "$(dirname "$0")/.."
 DATA=${1:-/tmp/sim700}
@@ -24,6 +29,12 @@ NAME=${NAME:-apollo148}
 MAX_ITERS=${MAX_ITERS:-11000}
 EVALS=${EVALS:-"3000 6000 9000"}
 RESULTS=${RESULTS:-/tmp/results_sim700}
+SEG_ITERS=${SEG_ITERS:-500}
+SAVE_FREQ=${SAVE_FREQ:-50}
+PRINT_FREQ=${PRINT_FREQ:-25}
+WATCHDOG=${WATCHDOG:-300}
+SEG_TIMEOUT=${SEG_TIMEOUT:-1500}
+EXTRA_TRAIN_FLAGS=${EXTRA_TRAIN_FLAGS:-}
 mkdir -p "$LOG"
 
 if [ ! -d "$DATA/input" ]; then
@@ -40,12 +51,14 @@ TRAIN_FLAGS="--dataroot $DATA/input --checkpoints_dir $CKPT --name $NAME \
  --netD basic --gan_mode lsgan --init_type kaiming --norm instance \
  --batch_size 1 --lambda_A 5 --crop_size 148 148 148 \
  --lr_policy constant \
- --precision bfloat16 --remat --save_by_iter --save_latest_freq 50 \
- --print_freq 25 --display_freq 1000000 --seed 0 --watchdog_secs 300"
+ --precision bfloat16 --remat --save_by_iter --save_latest_freq $SAVE_FREQ \
+ --print_freq $PRINT_FREQ --display_freq 1000000 --seed 0 \
+ --watchdog_secs $WATCHDOG $EXTRA_TRAIN_FLAGS"
 
 last_ckpt() {
   ls "$CKPT/$NAME"/iter_*_net_G_A.npz 2>/dev/null \
-   | sed 's/.*iter_\([0-9]*\)_net.*/\1/' | awk '$1 % 50 == 0' | sort -n | tail -1
+   | sed 's/.*iter_\([0-9]*\)_net.*/\1/' \
+   | awk -v f="$SAVE_FREQ" '$1 % f == 0' | sort -n | tail -1
 }
 
 eval_at() {
@@ -71,8 +84,8 @@ while true; do
   RESUME=""
   if [ "$P" -gt 0 ]; then RESUME="--continue_train --load_iter $P"; fi
   echo "=== segment $SEG from iter $P $(date +%H:%M:%S)" >> "$LOG/driver.log"
-  timeout 1500 python train_onecube.py $TRAIN_FLAGS $RESUME --max_iters 500 \
-    >> "$LOG/train.log" 2>&1
+  timeout $SEG_TIMEOUT python train_onecube.py $TRAIN_FLAGS $RESUME \
+    --max_iters $SEG_ITERS >> "$LOG/train.log" 2>&1
   echo "segment rc=$? last=$(last_ckpt) $(date +%H:%M:%S)" >> "$LOG/driver.log"
   P2=$(last_ckpt); P2=${P2:-0}
   for M in $EVALS; do

@@ -45,6 +45,11 @@ from neuroclear_tpu.utils.visualizer import save_images
 
 
 def main():
+    # forward-only surface: the W-pair Pallas conv is safe here (the
+    # training-side OOM scope does not apply; see ops/pallas_wconv.py)
+    from neuroclear_tpu.ops import pallas_wconv
+
+    pallas_wconv.set_enabled(True)
     parser_extra = "--legacy_pipeline" in sys.argv
     if parser_extra:
         sys.argv.remove("--legacy_pipeline")

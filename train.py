@@ -27,6 +27,10 @@ from neuroclear_tpu.utils.visualizer import Visualizer
 if __name__ == "__main__":
     maybe_initialize_distributed()
     opt = TrainOptions().parse()
+    if getattr(opt, "grad_accum", 1) > 1:
+        raise SystemExit("--grad_accum is a train_onecube.py feature (it needs "
+                         "the fused on-device sampler); the epoch trainer "
+                         "batches via --batch_size / the device mesh instead")
 
     dataset = create_dataset(opt)
     dataset_size = len(dataset)

@@ -70,6 +70,20 @@ if __name__ == "__main__":
         dp_sampler = dp.batch_sampler(dataset)
         print(f"data parallel over {dp.n} devices (mesh axis 'data')")
 
+    # single-chip execution of the batch-N DP recipe: N crops per optimizer
+    # step, gradients averaged before ONE Adam update (models/gan_common.py
+    # GanStepConfig.grad_accum).  Mutually exclusive with the mesh DP path —
+    # there the batch axis is already sharded over devices.
+    accum = max(1, getattr(opt, "grad_accum", 1))
+    if accum > 1:
+        if dp is not None:
+            raise SystemExit("--grad_accum requires a single device; the "
+                             "multi-device path batches over the mesh instead")
+        if not device_sampling:
+            raise SystemExit("--grad_accum needs the fused on-device sampler "
+                             "(singlevolume dataset, no --host_augment)")
+        print(f"gradient accumulation: {accum} crops per optimizer step")
+
     iter_data_time = time.time()
     total_iters = 0
     loaded_iter = opt.load_iter + 1 if opt.load_iter > 0 else 0
@@ -106,6 +120,9 @@ if __name__ == "__main__":
     while True:
         if dp is not None:
             data_i = {"A": dp_sampler(model.next_rng()),
+                      "A_paths": dataset.A_path}
+        elif accum > 1:
+            data_i = {"A": dataset.sample_batch(model.next_rng(), accum),
                       "A_paths": dataset.A_path}
         elif device_sampling:
             data_i = {"A": dataset.sample(model.next_rng()),
