@@ -62,16 +62,23 @@ last_ckpt() {
 }
 
 eval_at() {
+  # returns nonzero when the eval produced no psnr line (caller keeps the
+  # retry slot open); first failure retries with the Pallas W-pair conv
+  # forced off, so a kernel-compile regression cannot eat an eval point.
   local it=$1
   shift
-  timeout 1800 python test_dice.py --dataroot "$DATA/input" \
-    --dataroot_gt "$DATA/gt" \
-    --checkpoints_dir "$CKPT" --results_dir "$RESULTS" --name $NAME \
-    --serial_batches --preprocess addColorChannel --dataset_mode diceImage \
-    --netG unet_deconv --overlap 15 --dice_size 120 120 120 --normalize_intensity \
-    --sat_level 0.25 99.75 --image_dimension 3 --model_suffix _A \
-    --border_cut 10 --skip_real --load_iter "$it" "$@" \
-    > "$LOG/eval_$it.log" 2>&1
+  for wc in "" 0; do
+    NEUROCLEAR_PALLAS_WCONV=$wc timeout 1800 python test_dice.py \
+      --dataroot "$DATA/input" --dataroot_gt "$DATA/gt" \
+      --checkpoints_dir "$CKPT" --results_dir "$RESULTS" --name $NAME \
+      --serial_batches --preprocess addColorChannel --dataset_mode diceImage \
+      --netG unet_deconv --overlap 15 --dice_size 120 120 120 --normalize_intensity \
+      --sat_level 0.25 99.75 --image_dimension 3 --model_suffix _A \
+      --border_cut 10 --skip_real --load_iter "$it" "$@" \
+      > "$LOG/eval_$it.log" 2>&1
+    if grep -q "psnr" "$LOG/eval_$it.log"; then break; fi
+    echo "eval_$it produced no psnr (wconv='$wc'); see eval_$it.log" >> "$LOG/driver.log"
+  done
   grep "psnr" "$LOG/eval_$it.log"
 }
 
@@ -91,15 +98,26 @@ while true; do
   for M in $EVALS; do
     if [ "$P2" -ge "$M" ] && [ ! -f "$LOG/eval_$M.done" ]; then
       echo "--- eval at $M" >> "$LOG/driver.log"
-      eval_at $M --save_volume >> "$LOG/driver.log" 2>&1
-      touch "$LOG/eval_$M.done"
+      if eval_at $M --save_volume >> "$LOG/driver.log" 2>&1; then
+        touch "$LOG/eval_$M.done"
+      else
+        # at most 2 driver-loop retries, then give up loudly — a broken
+        # eval must not starve the remaining training segments
+        N_FAIL=$(( $(cat "$LOG/eval_$M.fails" 2>/dev/null || echo 0) + 1 ))
+        echo "$N_FAIL" > "$LOG/eval_$M.fails"
+        if [ "$N_FAIL" -ge 2 ]; then
+          echo "eval_$M FAILED $N_FAIL times; giving up" >> "$LOG/driver.log"
+          touch "$LOG/eval_$M.done"
+        fi
+      fi
     fi
   done
 done
 F=$(last_ckpt)
 if [ ! -f "$LOG/eval_final.done" ]; then
   echo "--- final eval at $F" >> "$LOG/driver.log"
-  eval_at "$F" --save_volume >> "$LOG/driver.log" 2>&1
-  touch "$LOG/eval_final.done"
+  if eval_at "$F" --save_volume >> "$LOG/driver.log" 2>&1; then
+    touch "$LOG/eval_final.done"
+  fi
 fi
 echo "ALL DONE $(date +%H:%M:%S)" >> "$LOG/driver.log"
