@@ -17,14 +17,24 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from neuroclear_tpu.utils import tiffio
-from neuroclear_tpu.utils.synthetic import generate_bead_volume
+from neuroclear_tpu.utils.synthetic import (generate_artifact_volume,
+                                            generate_bead_volume)
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
+    ap.add_argument("--mode", choices=["bead", "artifact"], default="bead",
+                    help="bead: axially blurred+noisy volume (apollo/dryops "
+                         "isotropization study); artifact: per-plane jitter"
+                         "+flicker OT-LSM calibration damage (athena study)")
     ap.add_argument("--size", type=int, default=300)
     ap.add_argument("--n_beads", type=int, default=None)
-    ap.add_argument("--axial_sigma", type=float, default=6.0)
+    ap.add_argument("--axial_sigma", type=float, default=None,
+                    help="PSF sigma_z (default 6.0 bead / 2.0 artifact)")
+    ap.add_argument("--jitter_px", type=float, default=2.0,
+                    help="artifact mode: max per-plane translation (px)")
+    ap.add_argument("--flicker_sigma", type=float, default=0.15,
+                    help="artifact mode: per-plane gain sigma")
     ap.add_argument("--gauss_noise", type=float, default=0.01,
                     help="read-noise sigma (fraction of full scale)")
     ap.add_argument("--poisson_peak", type=float, default=200.0,
@@ -38,10 +48,19 @@ if __name__ == "__main__":
         n_beads = max(50, int(1200 * (args.size / 300) ** 3))
 
     shape = (args.size,) * 3
-    noisy, gt, rotated = generate_bead_volume(
-        shape=shape, n_beads=n_beads, axial_sigma=args.axial_sigma,
-        gauss_noise=args.gauss_noise, poisson_peak=args.poisson_peak,
-        seed=args.seed)
+    if args.mode == "artifact":
+        noisy, gt, rotated = generate_artifact_volume(
+            shape=shape, n_beads=n_beads,
+            axial_sigma=(2.0 if args.axial_sigma is None else args.axial_sigma),
+            jitter_px=args.jitter_px, flicker_sigma=args.flicker_sigma,
+            gauss_noise=args.gauss_noise, poisson_peak=args.poisson_peak,
+            seed=args.seed)
+    else:
+        noisy, gt, rotated = generate_bead_volume(
+            shape=shape, n_beads=n_beads,
+            axial_sigma=(6.0 if args.axial_sigma is None else args.axial_sigma),
+            gauss_noise=args.gauss_noise, poisson_peak=args.poisson_peak,
+            seed=args.seed)
     tiffio.imwrite(os.path.join(args.out, "input", "bead_input.tif"), noisy)
     tiffio.imwrite(os.path.join(args.out, "gt", "bead_gt.tif"), gt)
     tiffio.imwrite(os.path.join(args.out, "rotated", "bead_rotated.tif"), rotated)

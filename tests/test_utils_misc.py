@@ -22,6 +22,34 @@ def test_synthetic_bead_volume():
     np.testing.assert_array_equal(rotated, np.rot90(gt, k=1, axes=(0, 1)))
 
 
+def test_synthetic_artifact_volume():
+    from neuroclear_tpu.utils.synthetic import generate_artifact_volume
+
+    noisy, gt, rotated = generate_artifact_volume(
+        shape=(48, 48, 48), n_beads=40, seed=2, gauss_noise=0.0,
+        poisson_peak=1e6, axial_sigma=0.0, jitter_px=2.0, flicker_sigma=0.2)
+    assert noisy.shape == gt.shape == (48, 48, 48)
+    assert noisy.dtype == np.uint16
+
+    # the damage is cross-plane: within an xy plane the relative structure
+    # is intact (clean slices for the target-plane discriminators), but the
+    # z-profile carries jitter+flicker, so adjacent-plane agreement drops
+    # far more along z in the corrupted volume than in the GT
+    def rough(v, ax):
+        return np.abs(np.diff(v.astype(float), axis=ax)).mean()
+
+    gt_f = gt.astype(float)
+    n_f = noisy.astype(float)
+    z_ratio = rough(n_f, 0) / max(rough(gt_f, 0), 1e-9)
+    y_ratio = rough(n_f, 1) / max(rough(gt_f, 1), 1e-9)
+    assert z_ratio > 1.2 * y_ratio  # z-views visibly degraded vs xy
+
+    # per-plane gain flicker is present: plane means deviate from GT's
+    gt_means = gt_f.mean(axis=(1, 2)) + 1e-9
+    ratios = n_f.mean(axis=(1, 2)) / gt_means
+    assert ratios.std() > 0.05
+
+
 def test_visualizer_sinks(tmp_path):
     import argparse
 
