@@ -151,7 +151,21 @@ def main():
     except Exception:
         pass
 
-    vox_fast = bench_inference(size, tile_batch, roi=204, ov=15, bc=10)
+    from neuroclear_tpu.ops import pallas_wconv
+    try:
+        vox_fast = bench_inference(size, tile_batch, roi=204, ov=15, bc=10)
+        extra["wpallas"] = pallas_wconv.ENABLED
+    except Exception as e:
+        # a W-pair kernel compile regression must not kill the headline:
+        # rerun the leg with the Pallas conv forced off and say so
+        print(f"# roi204 leg failed with wpallas ({e}); retrying without",
+              file=sys.stderr)
+        os.environ["NEUROCLEAR_PALLAS_WCONV"] = "0"
+        pallas_wconv._ENV = "0"
+        pallas_wconv.ENABLED = False
+        vox_fast = bench_inference(size, tile_batch, roi=204, ov=15, bc=10)
+        extra["wpallas"] = False
+        extra["wpallas_fallback"] = True
     extra["inference_vox_per_s_roi204"] = round(vox_fast, 1)
     vox_readme = None
     if os.environ.get("BENCH_FAST_ONLY", "0") != "1":
@@ -163,6 +177,16 @@ def main():
             vox_readme = bench_inference(size, 2, roi=120, ov=15, bc=10)
         except Exception as e:  # keep the headline robust to one bad leg
             print(f"# roi120 bench failed ({e})", file=sys.stderr)
+            if pallas_wconv.ENABLED:  # isolate a kernel-only failure
+                try:
+                    os.environ["NEUROCLEAR_PALLAS_WCONV"] = "0"
+                    pallas_wconv._ENV = "0"
+                    pallas_wconv.ENABLED = False
+                    vox_readme = bench_inference(size, 2, roi=120, ov=15,
+                                                 bc=10)
+                    extra["wpallas_roi120"] = False
+                except Exception as e2:
+                    print(f"# roi120 retry failed ({e2})", file=sys.stderr)
     # never alias the roi-204 number into the like-for-like slot: if the
     # roi-120 leg did not run, say so in the JSON and flag the headline
     extra["inference_vox_per_s_roi120"] = (
