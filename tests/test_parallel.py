@@ -98,6 +98,67 @@ def test_batched_device_sampler(tmp_path):
     assert all(np.isfinite(v) for v in losses.values()), losses
 
 
+def test_dp_step_matches_single_device_batched_step():
+    """The mesh-sharded SPMD step computes the same gradients (and losses)
+    as the single-device batched step — same params, same rng, same crops;
+    the only difference is the partitioner's psum reduction order (~1e-6).
+    Chained with tests/test_grad_accum.py (accum == batched gradients) this
+    certifies the <2h training story: a 1-chip --grad_accum N run feeds
+    Adam the same gradients an N-chip DP run would.  (Parameter-bitwise
+    comparison *through Adam* is deliberately not asserted: the step-1
+    update is sign-like, g/sqrt(g^2), so elements with |g| ~ reduction
+    noise legitimately flip — true of any DP system, torch included.)"""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neuroclear_tpu.models import gan_common as gc
+    from neuroclear_tpu.models.axial_to_lateral_gan_apollo_model import (
+        AxialToLateralGANApolloModel, make_apollo_step)
+    from neuroclear_tpu.parallel.mesh import get_mesh
+
+    opt = _opt()
+    m = AxialToLateralGANApolloModel(opt)
+    g_params = {k: m.params[k] for k in ("G_A", "G_B")}
+    d_params = {k: m.params[k] for k in m.model_names[2:]}
+    optim = optax.identity()  # lr 1.0 + identity => param delta == -grad
+    ostate = {"G": optim.init(g_params), "D": optim.init(d_params)}
+    cfg = gc.GanStepConfig(gan_mode="lsgan", lambda_A=5.0,
+                           lambda_plane=(1, 1, 1),
+                           randomize_projection_depth=True,
+                           projection_depth=4, min_projection_depth=2,
+                           beta1=0.1)
+    step = make_apollo_step(m.nets, optim, cfg)
+
+    batch = np.random.default_rng(9).random((4, 12, 12, 12, 1)).astype(
+        np.float32)
+    rng = jax.random.PRNGKey(5)
+    lr = jax.numpy.float32(1.0)
+    clone = lambda t: jax.tree.map(jax.numpy.array, t)
+
+    g1, d1, _, l1, *_ = step(clone(g_params), clone(d_params), clone(ostate),
+                             rng, jax.numpy.asarray(batch), lr)
+
+    mesh = get_mesh(4)
+    repl = NamedSharding(mesh, P())
+    put = lambda t: jax.device_put(t, repl)
+    xb = jax.device_put(jax.numpy.asarray(batch),
+                        NamedSharding(mesh, P("data")))
+    g2, d2, _, l2, *_ = step(put(clone(g_params)), put(clone(d_params)),
+                             put(clone(ostate)), rng, xb, lr)
+    assert not xb.sharding.is_fully_replicated  # really ran sharded
+
+    for tree_a, tree_b in ((g1, g2), (d1, d2)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=2e-5)
+    for k in l1:
+        np.testing.assert_allclose(float(l1[k]), float(l2[k]),
+                                   rtol=0, atol=2e-5)
+
+
 def test_mesh_helpers():
     from neuroclear_tpu.parallel.mesh import device_count, get_mesh
 
