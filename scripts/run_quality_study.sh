@@ -68,7 +68,7 @@ eval_at() {
   local it=$1
   shift
   for wc in "" 0; do
-    NEUROCLEAR_PALLAS_WCONV=$wc timeout 1800 python test_dice.py \
+    NEUROCLEAR_PALLAS_WCONV=$wc timeout 3000 python test_dice.py \
       --dataroot "$DATA/input" --dataroot_gt "$DATA/gt" \
       --checkpoints_dir "$CKPT" --results_dir "$RESULTS" --name $NAME \
       --serial_batches --preprocess addColorChannel --dataset_mode diceImage \

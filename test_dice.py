@@ -38,6 +38,7 @@ from neuroclear_tpu.data import create_dataset
 from neuroclear_tpu.data.image_folder import make_dataset
 from neuroclear_tpu.models import create_model
 from neuroclear_tpu.options.test_options import TestOptions
+from neuroclear_tpu.parallel import metrics as device_metrics
 from neuroclear_tpu.parallel.dice_infer import DiceInferencePipeline
 from neuroclear_tpu.utils import html, imageops, tiffio
 from neuroclear_tpu.utils.assemble import Assemble_Dice
@@ -311,22 +312,38 @@ def compute_gt_metrics(opt, web_dir, img_whole_dict):
     fake_volume = img_whole_dict["fake"]
     real_volume = img_whole_dict["real"]
 
-    # the reference standardises + normalises to uint8 TWICE
-    # (test_dice.py:241-247); replicated for metric parity.
-    for _ in range(2):
-        real_volume = imageops.normalize(imageops.standardize(real_volume),
-                                         data_type=np.uint8)
-        fake_volume = imageops.normalize(imageops.standardize(fake_volume),
-                                         data_type=np.uint8)
-        gt_volume = imageops.normalize(imageops.standardize(gt_volume),
-                                       data_type=np.uint8)
+    res = None
+    if device_metrics.enabled():
+        # slab-streamed on the accelerator (same protocol math; parity test
+        # in tests/test_device_metrics.py) -- seconds instead of ~10 min of
+        # single-core host float64 on 700^3+ volumes.
+        try:
+            res = device_metrics.protocol_metrics(real_volume, fake_volume,
+                                                  gt_volume)
+        except Exception as exc:  # fall back to the host path on any failure
+            print(f"device metrics unavailable ({exc}); using host path")
+    if res is not None:
+        psnr_input_gt = res["psnr_input"]
+        psnr_output_gt = res["psnr_output"]
+        ssim_input_gt = res["ssim_input"]
+        ssim_output_gt = res["ssim_output"]
+    else:
+        # the reference standardises + normalises to uint8 TWICE
+        # (test_dice.py:241-247); replicated for metric parity.
+        for _ in range(2):
+            real_volume = imageops.normalize(imageops.standardize(real_volume),
+                                             data_type=np.uint8)
+            fake_volume = imageops.normalize(imageops.standardize(fake_volume),
+                                             data_type=np.uint8)
+            gt_volume = imageops.normalize(imageops.standardize(gt_volume),
+                                           data_type=np.uint8)
 
-    psnr_input_gt = imageops.get_psnr(real_volume, gt_volume, datarange)
-    psnr_output_gt = imageops.get_psnr(fake_volume, gt_volume, datarange)
-    # SSIM (the reference only scaffolds it, util/visualizer.py:59-83);
-    # chunked along z so 700^3+ volumes run in bounded memory.
-    ssim_input_gt = imageops.get_ssim(real_volume, gt_volume, datarange)
-    ssim_output_gt = imageops.get_ssim(fake_volume, gt_volume, datarange)
+        psnr_input_gt = imageops.get_psnr(real_volume, gt_volume, datarange)
+        psnr_output_gt = imageops.get_psnr(fake_volume, gt_volume, datarange)
+        # SSIM (the reference only scaffolds it, util/visualizer.py:59-83);
+        # chunked along z so 700^3+ volumes run in bounded memory.
+        ssim_input_gt = imageops.get_ssim(real_volume, gt_volume, datarange)
+        ssim_output_gt = imageops.get_ssim(fake_volume, gt_volume, datarange)
     print("Metrics are calculated.")
 
     message = "Experiment Name: " + opt.name + "\n"
