@@ -94,7 +94,8 @@ class DiceInferencePipeline:
     # and async D2H overlapped with the next slab's compute.  Bounded HBM:
     # no full-volume f32 accumulator; volumes larger than HBM headroom work.
 
-    def run_streaming(self, vol_padded: np.ndarray) -> np.ndarray:
+    def run_streaming(self, vol_padded: np.ndarray,
+                      on_rows=None) -> np.ndarray:
         g = self.grid
         b, roi, step = g.border_cut, g.roi_size, g.step
         ext = roi + 2 * b
@@ -197,9 +198,19 @@ class DiceInferencePipeline:
                 pass
             emitted.append((emit, take))
 
-        rows = [np.asarray(e).reshape(take, oy, ox) for e, take in emitted]
-        out = np.concatenate(rows, axis=0)
-        return out[:oz]
+        # Harvest in z order, clipping the final slab's overhang to oz.
+        # on_rows sees each block as soon as its transfer lands, so callers
+        # (test_dice --save_volume) encode the output TIFF during the
+        # device-to-host tail instead of after it.
+        rows, z_done = [], 0
+        for e, take in emitted:
+            r = np.asarray(e).reshape(take, oy, ox)[:max(0, oz - z_done)]
+            if r.shape[0]:
+                if on_rows is not None:
+                    on_rows(r)
+                rows.append(r)
+                z_done += r.shape[0]
+        return np.concatenate(rows, axis=0)
 
     # ------------------------------------------------------------------
 

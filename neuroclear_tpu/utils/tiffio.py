@@ -138,6 +138,103 @@ def imwrite(path: str, arr: np.ndarray) -> None:
     pages[0].save(path, save_all=True, append_images=pages[1:])
 
 
+class StreamingTiffWriter:
+    """Incremental multi-page TIFF writer.
+
+    Produces byte-identical output to the native codec's ``tiff_write``
+    (layout: header | page0 | ifd0 | page1 | ifd1 | ...; all offsets are a
+    pure function of the declared shape), but accepts the pages in ordered
+    chunks, so the streaming inference pipeline can encode the output volume
+    WHILE later slabs are still in device-to-host flight — the reference
+    writes the whole assembled volume only after the fact
+    (/root/reference/test_dice.py:151-166).
+
+    Total file size must fit classic TIFF (< 4 GB): callers check
+    ``StreamingTiffWriter.fits(shape, dtype)`` and fall back to ``imwrite``.
+    """
+
+    _IFD_ENTRIES = 10
+    _IFD_SIZE = 2 + _IFD_ENTRIES * 12 + 4
+
+    def __init__(self, path: str, shape, dtype):
+        z, h, w = (int(s) for s in shape)
+        dtype = np.dtype(dtype)
+        if dtype not in (np.uint8, np.uint16, np.float32):
+            raise ValueError(f"unsupported dtype {dtype}")
+        if not self.fits(shape, dtype):
+            raise ValueError("volume exceeds the classic-TIFF 4 GB limit")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.shape, self.dtype, self.path = (z, h, w), dtype, path
+        self._page_bytes = h * w * dtype.itemsize
+        self._z_written = 0
+        self._f = open(path, "wb")
+        first_ifd = 8 + self._page_bytes  # header | page0 | ifd0
+        self._f.write(np.array([0x4949, 42], "<u2").tobytes()
+                      + np.array([first_ifd], "<u4").tobytes())
+
+    @classmethod
+    def fits(cls, shape, dtype) -> bool:
+        z, h, w = (int(s) for s in shape)
+        total = 8 + z * (h * w * np.dtype(dtype).itemsize + cls._IFD_SIZE)
+        return total < 0xFFFFFFF0
+
+    def _ifd(self, i: int) -> bytes:
+        z, h, w = self.shape
+        bits = self.dtype.itemsize * 8
+        data_off = 8 + i * (self._page_bytes + self._IFD_SIZE)
+        next_off = (data_off + 2 * self._page_bytes + self._IFD_SIZE
+                    if i + 1 < z else 0)
+        sample_fmt = 3 if self.dtype == np.float32 else 1
+        # (tag, type, count, value) rows — tag order matches tiff_write
+        rows = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, bits),
+                (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, data_off),
+                (277, 3, 1, 1), (278, 4, 1, h),
+                (279, 4, 1, self._page_bytes), (339, 3, 1, sample_fmt)]
+        out = [np.array([self._IFD_ENTRIES], "<u2").tobytes()]
+        for tag, typ, count, value in rows:
+            out.append(np.array([tag, typ], "<u2").tobytes()
+                       + np.array([count, value], "<u4").tobytes())
+        out.append(np.array([next_off], "<u4").tobytes())
+        return b"".join(out)
+
+    def write_rows(self, rows: np.ndarray) -> None:
+        """Append one or more complete pages (rows.shape = (n, H, W))."""
+        rows = np.ascontiguousarray(rows, self.dtype)
+        if rows.ndim == 2:
+            rows = rows[None]
+        z, h, w = self.shape
+        if rows.shape[1:] != (h, w):
+            raise ValueError(f"page shape {rows.shape[1:]} != {(h, w)}")
+        if self._z_written + rows.shape[0] > z:
+            raise ValueError("more pages than declared")
+        for page in rows:
+            self._f.write(page.tobytes())
+            self._f.write(self._ifd(self._z_written))
+            self._z_written += 1
+
+    def close(self) -> None:
+        if self._f is not None:
+            f, self._f = self._f, None
+            f.close()
+            if self._z_written != self.shape[0]:
+                os.unlink(self.path)  # never leave a truncated stack behind
+                raise ValueError(
+                    f"wrote {self._z_written} of {self.shape[0]} pages")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None and self._f is not None:
+            self._f.close()
+            self._f = None
+            if os.path.exists(self.path):
+                os.unlink(self.path)
+            return False
+        self.close()
+        return False
+
+
 def _page(sl: np.ndarray) -> Image.Image:
     if sl.dtype == np.uint16:
         return Image.fromarray(sl, mode="I;16")

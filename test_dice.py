@@ -94,7 +94,7 @@ def main():
     if use_legacy:
         img_whole_dict = run_legacy(opt, model, dataset_probe)
     else:
-        img_whole_dict = run_fused(opt, model, dataset_probe)
+        img_whole_dict = run_fused(opt, model, dataset_probe, web_dir)
     n_vox = int(np.prod(dataset_size_original))
     dt = time.time() - t0
     print(f"Inference+assembly: {dt:.2f}s "
@@ -137,7 +137,15 @@ def populate_webpages(opt, web_dir, webpage, img_whole_dict):
     wholepage.save("index_wholeimg.html")
 
 
-def run_fused(opt, model, dataset_probe):
+def _volume_out_path(opt, web_dir):
+    if opt.load_iter > 0:
+        return (web_dir + "/volumes/output_volume_xy-view_iter-"
+                + str(opt.load_iter) + ".tif")
+    return (web_dir + "/volumes/output_volume_xy-view_epoch-"
+            + str(opt.epoch) + ".tif")
+
+
+def run_fused(opt, model, dataset_probe, web_dir=None):
     """On-device pipeline: tiles -> G -> blend, then host post-processing."""
     from neuroclear_tpu.utils.imageops import pad_for_dicing
     from neuroclear_tpu.ops.augment import dtype_inv_scale
@@ -160,20 +168,40 @@ def run_fused(opt, model, dataset_probe):
         g_apply, params, dataset_probe.cube.grid, inv_scale,
         tile_batch=opt.tile_batch, repetition=opt.repetition,
         precision=opt.precision, out_dtype=out_dtype, orig_shape=orig)
+
+    # When the emitted rows are already the final bytes (device dtype cast,
+    # no whole-volume percentile stretch pending), encode the output TIFF
+    # during the harvest: each slab's pages hit the file while later slabs
+    # are still in device-to-host flight.  The written file is byte-identical
+    # to the post-hoc imwrite (StreamingTiffWriter shares its layout), so
+    # save_outputs simply skips the rewrite.
+    writer, stream_path = None, None
+    if (opt.save_volume and web_dir is not None
+            and not opt.normalize_intensity and out_dtype is not None
+            and orig is not None
+            and tiffio.StreamingTiffWriter.fits(orig, out_dtype)):
+        stream_path = _volume_out_path(opt, web_dir)
+        writer = tiffio.StreamingTiffWriter(stream_path, orig, out_dtype)
+    on_rows = writer.write_rows if writer is not None else None
+
     if opt.eval:
         # trace the pipeline under eval semantics (--norm batch nets use
         # running stats; a no-op for the stateless instance norm)
         from neuroclear_tpu.nn.norms import eval_mode
 
         with eval_mode():
-            fake = pipe.run_streaming(np.asarray(vol_padded))
+            fake = pipe.run_streaming(np.asarray(vol_padded), on_rows=on_rows)
     else:
-        fake = pipe.run_streaming(np.asarray(vol_padded))
+        fake = pipe.run_streaming(np.asarray(vol_padded), on_rows=on_rows)
+    if writer is not None:
+        writer.close()
 
     # 'real' is always assembled (as in the reference, where --skip_real only
     # gates *saving*, test_dice.py:146-157 — the GT metrics at :241-247 read
     # img_whole_dict['real'] unconditionally).
     out = {}
+    if stream_path is not None:
+        out["fake_streamed"] = stream_path
     real = np.asarray(vol_padded, np.float32) * inv_scale
     out["real"] = _postprocess(real, opt, dataset_probe.size_original())
     out["fake"] = _postprocess(fake, opt, dataset_probe.size_original())
@@ -240,13 +268,9 @@ def save_outputs(opt, web_dir, img_whole_dict):
 
     if opt.save_volume:
         os.makedirs(web_dir + "/volumes", exist_ok=True)
-        if opt.load_iter > 0:
-            out_path = (web_dir + "/volumes/output_volume_xy-view_iter-"
-                        + str(opt.load_iter) + ".tif")
-        else:
-            out_path = (web_dir + "/volumes/output_volume_xy-view_epoch-"
-                        + str(opt.epoch) + ".tif")
-        tiffio.imwrite(out_path, fake_volume)
+        out_path = _volume_out_path(opt, web_dir)
+        if img_whole_dict.get("fake_streamed") != out_path:
+            tiffio.imwrite(out_path, fake_volume)
         print("Output volume is saved as a tiff file. ")
         if not opt.skip_real:
             tiffio.imwrite(web_dir + "/volumes/input_volume_xy-view.tif",

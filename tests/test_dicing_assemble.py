@@ -159,3 +159,26 @@ def test_device_pipeline_sharded_and_tta():
     out = DiceInferencePipeline(ident, {}, grid, 1 / 65535.0, tile_batch=2,
                                 repetition=True).run(vp)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_streaming_on_rows_matches_return(tmp_path):
+    """on_rows sees exactly the returned volume, in order, and feeding the
+    blocks to StreamingTiffWriter reproduces imwrite byte-for-byte (the
+    test_dice --save_volume overlap path)."""
+    from neuroclear_tpu.parallel.dice_infer import DiceInferencePipeline
+    from neuroclear_tpu.utils import tiffio
+
+    rng = np.random.default_rng(11)
+    vol = rng.integers(0, 65535, (50, 45, 40)).astype(np.uint16)
+    vp = pad_for_dicing(vol, 20, 5)
+    grid = DiceGrid(vp.shape, 20, 5, 3)
+    ident = lambda params, x: x
+    pipe = DiceInferencePipeline(ident, {}, grid, 1 / 65535.0, tile_batch=3,
+                                 out_dtype=np.uint16, orig_shape=vol.shape)
+    stream = str(tmp_path / "streamed.tif")
+    ref = str(tmp_path / "ref.tif")
+    with tiffio.StreamingTiffWriter(stream, vol.shape, np.uint16) as w:
+        out = pipe.run_streaming(vp, on_rows=w.write_rows)
+    assert out.shape == vol.shape
+    tiffio.imwrite(ref, out)
+    assert open(stream, "rb").read() == open(ref, "rb").read()

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from neuroclear_tpu.utils.synthetic import generate_bead_volume
 
@@ -149,3 +150,47 @@ def test_tiffio_paged_read(tmp_path):
     assert tuple(shape) == (4, 5, 6) and dt == np.uint16
     np.testing.assert_array_equal(tiffio.imread_pages(p, 1, 3), v[1:3])
     np.testing.assert_array_equal(tiffio.imread_pages(p, 0, 4), v)
+
+
+def test_streaming_tiff_writer_byte_identical(tmp_path):
+    """StreamingTiffWriter must reproduce the native tiff_write layout
+    byte-for-byte for every supported dtype, in arbitrary chunkings."""
+    from neuroclear_tpu.utils import tiffio
+
+    rng = np.random.default_rng(0)
+    for dtype, chunks in [(np.uint16, [2, 5]), (np.uint8, [1, 1, 1]),
+                          (np.float32, [3])]:
+        z = sum(chunks)
+        vol = (rng.random((z, 9, 13)) * 200).astype(dtype)
+        ref = tmp_path / f"ref_{np.dtype(dtype).name}.tif"
+        got = tmp_path / f"got_{np.dtype(dtype).name}.tif"
+        tiffio.imwrite(str(ref), vol)
+        with tiffio.StreamingTiffWriter(str(got), vol.shape, dtype) as w:
+            z0 = 0
+            for n in chunks:
+                w.write_rows(vol[z0:z0 + n])
+                z0 += n
+        assert got.read_bytes() == ref.read_bytes()
+        np.testing.assert_array_equal(tiffio.imread(str(got)), vol)
+
+
+def test_streaming_tiff_writer_guards(tmp_path):
+    from neuroclear_tpu.utils import tiffio
+
+    p = str(tmp_path / "x.tif")
+    # truncated close removes the file rather than leaving a bad stack
+    w = tiffio.StreamingTiffWriter(p, (4, 8, 8), np.uint16)
+    w.write_rows(np.zeros((2, 8, 8), np.uint16))
+    with pytest.raises(ValueError):
+        w.close()
+    assert not os.path.exists(p)
+    # page overflow and shape mismatch
+    w = tiffio.StreamingTiffWriter(p, (2, 8, 8), np.uint16)
+    with pytest.raises(ValueError):
+        w.write_rows(np.zeros((3, 8, 8), np.uint16))
+    with pytest.raises(ValueError):
+        w.write_rows(np.zeros((1, 4, 8), np.uint16))
+    w.write_rows(np.zeros((2, 8, 8), np.uint16))
+    w.close()
+    # 4 GB classic-TIFF guard
+    assert not tiffio.StreamingTiffWriter.fits((2048, 2048, 2048), np.uint16)
