@@ -67,8 +67,15 @@ eval_at() {
   # forced off, so a kernel-compile regression cannot eat an eval point.
   local it=$1
   shift
-  for wc in "" 0; do
-    NEUROCLEAR_PALLAS_WCONV=$wc timeout 3000 python test_dice.py \
+  # wconv=0 first: evals ride the known-good XLA packed conv (bench.py
+  # measures the Pallas kernel separately per leg); the unset-env attempt
+  # is the fallback and also the only one where test_dice's
+  # set_enabled(True) default actually engages — NEUROCLEAR_PALLAS_WCONV=""
+  # (set-but-empty) pins ENABLED off, it does NOT mean "default".
+  for wc in 0 unset; do
+    if [ "$wc" = unset ]; then WENV=(env -u NEUROCLEAR_PALLAS_WCONV);
+    else WENV=(env NEUROCLEAR_PALLAS_WCONV=$wc); fi
+    "${WENV[@]}" timeout 3000 python test_dice.py \
       --dataroot "$DATA/input" --dataroot_gt "$DATA/gt" \
       --checkpoints_dir "$CKPT" --results_dir "$RESULTS" --name $NAME \
       --serial_batches --preprocess addColorChannel --dataset_mode diceImage \
