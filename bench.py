@@ -137,8 +137,47 @@ def bench_train(crop: int, remat: bool) -> float:
     return 1.0 / step
 
 
+def _device_alive(timeout_s: float) -> bool:
+    """Bounded liveness probe: the axon tunnel can wedge such that device
+    init blocks FOREVER (observed multi-hour sprees) — a bench that hangs
+    is worse than one that reports the outage.  The probe runs in a daemon
+    thread; on timeout the process exits with an explicit error JSON."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+            ok.append(float(jnp.ones((256, 256)).sum()) == 256.0 * 256.0)
+        except Exception:
+            ok.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok and ok[0])
+
+
 def main():
     size = int(os.environ.get("BENCH_SIZE", "900"))
+
+    # retry window for transient wedges, then fail loudly instead of hanging
+    probe_retries = int(os.environ.get("BENCH_PROBE_RETRIES", "3"))
+    for attempt in range(probe_retries):
+        if _device_alive(timeout_s=180):
+            break
+        print(f"# device probe {attempt + 1}/{probe_retries} timed out",
+              file=sys.stderr)
+        if attempt + 1 == probe_retries:
+            print(json.dumps({
+                "metric": "dice_inference_voxels_per_sec", "value": None,
+                "unit": "voxel/s", "vs_baseline": None,
+                "extra": {"error": "device unavailable (init wedged; "
+                                   "probe timed out 3x180s)"},
+            }))
+            os._exit(3)
+        time.sleep(120)
     # tile_batch 1 at roi 204 (ext 224^3) is the HBM-safe default on 16GB
     tile_batch = int(os.environ.get("BENCH_TILE_BATCH", "1"))
 
