@@ -63,10 +63,34 @@ class ConvBlock:
         return p
 
     def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import packed_block as pb
+
         ck = jax.checkpoint if self.remat else (lambda f: f)
+        packed = False  # trace-time: is x currently in the packed layout?
         for i in range(self.n):
             in_c = self.in_c if i == 0 else self.out_c
             conv = Conv(self.dim, in_c, self.out_c, self.k, self.stride, self.pad)
+
+            u_shape = (pb.unpacked_shape(x.shape) if packed else x.shape)
+            if pb.unit_supported(u_shape, in_c, self.out_c, self.k,
+                                 self.stride, self.pad, self.dim,
+                                 self.norm.kind):
+                # packed-resident unit (ops/packed_block.py): conv, norm and
+                # ReLU all run on the lane-dense W-pair layout
+                if not packed:
+                    x = pb.pack(x)
+                    packed = True
+
+                def unit_p(q, v, i=i):
+                    v = pb.conv_packed(v, q[f"conv{i}"]["w"],
+                                       q[f"conv{i}"].get("b"))
+                    return pb.norm_act_packed(v, self.norm.kind, "relu")
+
+                x = ck(unit_p)(p, x)
+                continue
+            if packed:
+                x = pb.unpack(x)
+                packed = False
 
             def unit(q, v, conv=conv, i=i):
                 v = conv.apply(q[f"conv{i}"], v)
@@ -74,7 +98,7 @@ class ConvBlock:
                 return relu(v)
 
             x = ck(unit)(p, x)
-        return x
+        return pb.unpack(x) if packed else x
 
 
 # ---------------------------------------------------------------------------

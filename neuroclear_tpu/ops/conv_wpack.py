@@ -99,3 +99,30 @@ def conv3d_wpack2(x: jnp.ndarray, w: jnp.ndarray,
         precision=precision,
     )  # (B, D, H, W//2, 2*cout)
     return y.reshape(B, D, H, W, cout)               # free relabeling
+
+
+def conv3d_wpack2_packed(xp: jnp.ndarray, w: jnp.ndarray,
+                         precision=None) -> jnp.ndarray:
+    """Packed-resident variant: xp is the phase-0 W-pair packing
+    (B, D, H, W//2, 2*cin) of an NDHWC tensor; returns the packed output
+    (B, D, H, W//2, 2*cout).  Same math as conv3d_wpack2 — consecutive
+    packed units (ops/packed_block.py) skip the per-conv unpack/repack so
+    norms and activations between them run on the lane-dense layout."""
+    B, D, H, T, L = xp.shape
+    cin = L // 2
+    W = 2 * T
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, 3) and w.shape[3] == cin
+    # rephase: the conv consumes the SHIFTED packing (pairs (2s-1, 2s)) —
+    # unpack is a relabel, the pad is the one real copy per conv
+    x = xp.reshape(B, D, H, W, cin)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+    X = x.reshape(B, D, H, T + 1, L)
+    y = jax.lax.conv_general_dilated(
+        X, pack_weights(w),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=precision,
+    )  # (B, D, H, T, 2*cout) — already phase-0 packed
+    return y

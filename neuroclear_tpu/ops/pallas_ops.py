@@ -182,39 +182,69 @@ def _bwd_map(g3, y3, rstd, mg, mgy):
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
-def instance_norm(x: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def instance_norm(x: jnp.ndarray, fold: int = 1) -> jnp.ndarray:
     """InstanceNorm(affine=False, eps=1e-5) over all spatial dims of a
-    channels-last tensor (N, *spatial, C)."""
-    y, _ = _inorm_fwd_impl(x)
+    channels-last tensor (N, *spatial, C).
+
+    ``fold`` > 1 treats the minor dim as ``fold`` lane-packed copies of
+    C = minor/fold real channels (lane index = copy*C + c, copy-major —
+    the W-pair packed layout of ops/conv_wpack.py): statistics are folded
+    across the copies so the result equals unpacking, normalising, and
+    repacking, without ever materialising the unpacked tensor."""
+    y, _ = _inorm_fwd_impl(x, fold)
     return y
 
 
-def _inorm_fwd_impl(x):
+def _fold_sums(s, ss, n, fold, c):
+    """(n, fold*c) lane sums -> (n, c) per-real-channel sums."""
+    s = jnp.sum(s.reshape(n, fold, c), axis=1)
+    ss = jnp.sum(ss.reshape(n, fold, c), axis=1)
+    return s, ss
+
+
+def _inorm_fwd_impl(x, fold=1):
     shape = x.shape
-    n, c = shape[0], shape[-1]
+    n, cp = shape[0], shape[-1]
     rows = int(np.prod(shape[1:-1]))
-    x3 = x.reshape(n, rows, c)
+    assert cp % fold == 0, (shape, fold)
+    c = cp // fold
+    x3 = x.reshape(n, rows, cp)
     s, ss = _pair_sums(x3, x3)
-    mean = s / rows
-    var = jnp.maximum(ss / rows - jnp.square(mean), 0.0)
+    if fold > 1:
+        s, ss = _fold_sums(s, ss, n, fold, c)
+    cnt = rows * fold
+    mean = s / cnt
+    var = jnp.maximum(ss / cnt - jnp.square(mean), 0.0)
     rstd = jax.lax.rsqrt(var + _EPS)
-    y3 = _affine_map(x3, rstd, -mean * rstd)
+    scale, shift = rstd, -mean * rstd
+    if fold > 1:
+        scale = jnp.tile(scale, (1, fold))
+        shift = jnp.tile(shift, (1, fold))
+    y3 = _affine_map(x3, scale, shift)
     return y3.reshape(shape), (y3, rstd)
 
 
-def _inorm_fwd(x):
-    y, (y3, rstd) = _inorm_fwd_impl(x)
+def _inorm_fwd(x, fold):
+    y, (y3, rstd) = _inorm_fwd_impl(x, fold)
     return y, (y3, rstd, x.shape)
 
 
-def _inorm_bwd(res, g):
+def _inorm_bwd(fold, res, g):
     y3, rstd, shape = res
-    n, rows, c = y3.shape
-    g3 = g.reshape(n, rows, c)
+    n, rows, cp = y3.shape
+    c = cp // fold
+    g3 = g.reshape(n, rows, cp)
     sg, sgy = _pair_sums(g3, y3)
-    mg = sg / rows
-    mgy = sgy / rows
+    if fold > 1:
+        sg, sgy = _fold_sums(sg, sgy, n, fold, c)
+    cnt = rows * fold
+    mg = sg / cnt
+    mgy = sgy / cnt
+    if fold > 1:
+        rstd = jnp.tile(rstd, (1, fold))
+        mg = jnp.tile(mg, (1, fold))
+        mgy = jnp.tile(mgy, (1, fold))
     dx3 = _bwd_map(g3, y3, rstd, mg, mgy)
     return (dx3.reshape(shape),)
 
@@ -223,10 +253,11 @@ instance_norm.defvjp(_inorm_fwd, _inorm_bwd)
 
 
 def instance_norm_act(x: jnp.ndarray, act: str | None = None,
-                      negative_slope: float = 0.2) -> jnp.ndarray:
+                      negative_slope: float = 0.2,
+                      fold: int = 1) -> jnp.ndarray:
     """instance_norm followed by an activation (the activation stays in XLA so
     its trivial fusion + backward mask work as usual)."""
-    y = instance_norm(x)
+    y = instance_norm(x, fold)
     if act == "relu":
         return jax.nn.relu(y)
     if act == "leaky":

@@ -172,7 +172,7 @@ def _kernel(x_hbm, w_ref, o_ref, scratch, sem, *, th, To, Sp, L, D, NH):
     o_ref[:] = acc.reshape(1, th, To, 128).astype(o_ref.dtype)
 
 
-def _conv_pallas(x, w):
+def _conv_pallas(x, w, packed_out=False):
     """x: (B, D, H, W, cin) bf16; w: (3, 3, 3, cin, cout=64)."""
     B, D, H, W, cin = x.shape
     L = 2 * cin
@@ -210,7 +210,10 @@ def _conv_pallas(x, w):
         ],
         interpret=_INTERPRET and not _on_tpu(),
     )(X, w2)
-    return out[:, :H, :T, :].reshape(B, D, H, W, 64)
+    cropped = out[:, :H, :T, :]
+    if packed_out:
+        return cropped.reshape(B, D, H, T, 128)  # phase-0 packed
+    return cropped.reshape(B, D, H, W, 64)
 
 
 @jax.custom_vjp
@@ -241,6 +244,47 @@ def _bwd(res, g):
 
 
 conv3d_wpack_pallas.defvjp(_fwd, _bwd)
+
+
+def _unpack_shape(xp_shape):
+    b, d, h, t, l = xp_shape
+    return (b, d, h, 2 * t, l // 2)
+
+
+def supported_packed(xp_shape, cout: int) -> bool:
+    """Support check for the packed-resident entry (phase-0 packed input
+    (B, D, H, W//2, 2*cin))."""
+    if len(xp_shape) != 5 or xp_shape[-1] % 2:
+        return False
+    u = _unpack_shape(xp_shape)
+    return supported(u, u[-1], cout, 3, 1, 1, 3)
+
+
+@jax.custom_vjp
+def conv3d_wpack_pallas_packed(xp, w):
+    """Packed-resident Pallas conv: phase-0 packed input
+    (B, D, H, W//2, 2*cin) -> packed output (B, D, H, W//2, 2*cout).
+    The unpack before the kernel's shifted-phase pad is a relabel; keeping
+    the output packed skips the (2x larger, lane-padded) unpacked buffer
+    entirely — see ops/packed_block.py."""
+    return _conv_pallas(xp.reshape(_unpack_shape(xp.shape)), w,
+                        packed_out=True)
+
+
+def _fwd_packed(xp, w):
+    return (_conv_pallas(xp.reshape(_unpack_shape(xp.shape)), w,
+                         packed_out=True), (xp, w))
+
+
+def _bwd_packed(res, g):
+    xp, w = res
+    b, d, h, t, _ = g.shape
+    dx, dw = _bwd((xp.reshape(_unpack_shape(xp.shape)), w),
+                  g.reshape(b, d, h, 2 * t, 64))
+    return dx.reshape(xp.shape), dw
+
+
+conv3d_wpack_pallas_packed.defvjp(_fwd_packed, _bwd_packed)
 
 
 def conv3d_wpack_auto(x, w):
