@@ -137,3 +137,46 @@ def test_packed_gate_eligibility():
         _enable(False)
     assert not pb.unit_supported((1, 6, 8, 16, 64), 64, 64, 3, 1, 1, 3,
                                  "instance")      # gate off
+
+
+def test_packed_parity_under_mesh():
+    """Batch-sharded UNetDeconv forward+grad on a virtual mesh: the packed
+    layout's W-pair reshapes must partition cleanly (batch sharded, W not)
+    and match the plain path — guards the multi-chip DP dryrun if packed
+    blocks become the default."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from neuroclear_tpu.nn import generators as G
+
+    g = G.UNetDeconv(1, 1, norm="instance")
+    p = g.init(KEY, "kaiming", 0.02)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 16, 1)).astype(np.float32))
+    gcot = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    def run(on):
+        # fresh function object per leg: the packed gate is read at trace
+        # time, so reusing one jit cache would silently skip the second leg
+        def loss(q, v):
+            return (g.apply(q, v) * gcot).sum()
+
+        _enable(on)
+        try:
+            return jax.jit(jax.value_and_grad(loss))(p, xs)
+        finally:
+            _enable(False)
+
+    l_ref, d_ref = run(False)
+    l_pk, d_pk = run(True)
+    np.testing.assert_allclose(float(l_pk), float(l_ref), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(d_pk),
+                    jax.tree_util.tree_leaves(d_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
