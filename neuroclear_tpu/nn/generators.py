@@ -62,19 +62,39 @@ class ConvBlock:
                 p[f"norm{i}"] = self.norm.init(keys[2 * i + 1], self.out_c, gain)
         return p
 
-    def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    def _packed_plan(self, in_shape) -> list:
+        """Trace-time decision per unit: may it run packed-resident?
+        Mirrors apply()'s loop on shapes only, so consumers (UNetDeconv's
+        pool/skip plumbing) can ask for the exit layout without tracing."""
+        from ..ops import packed_block as pb
+
+        flags, shape = [], tuple(in_shape)
+        for i in range(self.n):
+            in_c = self.in_c if i == 0 else self.out_c
+            flags.append(pb.unit_supported(shape, in_c, self.out_c, self.k,
+                                           self.stride, self.pad, self.dim,
+                                           self.norm.kind))
+            spatial = tuple((s + 2 * self.pad - self.k) // self.stride + 1
+                            for s in shape[1:-1])
+            shape = (shape[0],) + spatial + (self.out_c,)
+        return flags
+
+    def exit_packed(self, in_shape) -> bool:
+        """Does apply(..., packed_out=True) return the packed layout?"""
+        return self._packed_plan(in_shape)[-1]
+
+    def apply(self, p: Params, x: jnp.ndarray,
+              packed_out: bool = False) -> jnp.ndarray:
         from ..ops import packed_block as pb
 
         ck = jax.checkpoint if self.remat else (lambda f: f)
+        flags = self._packed_plan(x.shape)
         packed = False  # trace-time: is x currently in the packed layout?
         for i in range(self.n):
-            in_c = self.in_c if i == 0 else self.out_c
-            conv = Conv(self.dim, in_c, self.out_c, self.k, self.stride, self.pad)
+            conv = Conv(self.dim, self.in_c if i == 0 else self.out_c,
+                        self.out_c, self.k, self.stride, self.pad)
 
-            u_shape = (pb.unpacked_shape(x.shape) if packed else x.shape)
-            if pb.unit_supported(u_shape, in_c, self.out_c, self.k,
-                                 self.stride, self.pad, self.dim,
-                                 self.norm.kind):
+            if flags[i]:
                 # packed-resident unit (ops/packed_block.py): conv, norm and
                 # ReLU all run on the lane-dense W-pair layout
                 if not packed:
@@ -98,7 +118,7 @@ class ConvBlock:
                 return relu(v)
 
             x = ck(unit)(p, x)
-        return pb.unpack(x) if packed else x
+        return pb.unpack(x) if packed and not packed_out else x
 
 
 # ---------------------------------------------------------------------------
@@ -146,12 +166,25 @@ class UNetDeconv:
         return {n: m.init(k, init_type, gain) for (n, m), k in zip(parts.items(), keys)}
 
     def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import packed_block as pb
+
         _, _, m = self._parts()
         ck = jax.checkpoint if self.remat else (lambda f: f)
         # skip-concats happen INSIDE the checkpointed blocks so the saved
         # residuals are the two halves, not an extra concatenated copy
-        conv1 = ck(m["double_conv1"].apply)(p["double_conv1"], x)
-        down1 = max_pool(conv1, 2, self.dim)
+        #
+        # when double_conv1 ends on a packed-resident unit, keep its exit
+        # PACKED: the pool consumes the lane pair directly and the skip
+        # residual is saved lane-dense (half the bytes of the padded C=64
+        # form) — the one unpack happens inside the ex_conv1_1 checkpoint
+        c1_pk = self.dim == 3 and m["double_conv1"].exit_packed(x.shape)
+        if c1_pk:
+            conv1 = ck(lambda q, v: m["double_conv1"].apply(
+                q, v, packed_out=True))(p["double_conv1"], x)
+            down1 = pb.max_pool_packed(conv1)
+        else:
+            conv1 = ck(m["double_conv1"].apply)(p["double_conv1"], x)
+            down1 = max_pool(conv1, 2, self.dim)
         conv2 = ck(m["double_conv2"].apply)(p["double_conv2"], down1)
         down2 = max_pool(conv2, 2, self.dim)
         bottom = ck(m["bottom_layer"].apply)(p["bottom_layer"], down2)
@@ -164,6 +197,8 @@ class UNetDeconv:
         up1 = m["t_conv1"].apply(p["t_conv1"], ex2)
 
         def _ex1(q, a, b):
+            if c1_pk:
+                a = pb.unpack(a)
             return m["ex_conv1_1"].apply(q, jnp.concatenate([a, b], axis=-1))
 
         ex1 = ck(_ex1)(p["ex_conv1_1"], conv1, up1)

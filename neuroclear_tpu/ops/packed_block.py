@@ -101,6 +101,21 @@ def conv_packed(xp: jnp.ndarray, w: jnp.ndarray, b=None) -> jnp.ndarray:
     return y
 
 
+def max_pool_packed(xp: jnp.ndarray) -> jnp.ndarray:
+    """MaxPool3d(2) (stride 2, floor semantics) consuming the phase-0
+    packed layout directly: the W pooling window IS the two lane copies,
+    so the W reduction is one lane-half max on the dense layout and the
+    packed tensor is never unpacked.  Returns the unpacked pooled tensor
+    (B, D//2, H//2, W//2, C)."""
+    import jax
+
+    c = xp.shape[-1] // 2
+    y = jnp.maximum(xp[..., :c], xp[..., c:])        # the W window
+    dims = (1, 2, 2, 1, 1)                           # D, H remain
+    return jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, dims, dims,
+                                 "VALID")
+
+
 def norm_act_packed(xp: jnp.ndarray, norm_kind: str,
                     act: str | None = "relu") -> jnp.ndarray:
     """Instance norm (lane-folded stats) + activation on the packed layout."""

@@ -180,3 +180,36 @@ def test_packed_parity_under_mesh():
                     jax.tree_util.tree_leaves(d_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_max_pool_packed_parity():
+    """Packed pool == unpack -> MaxPool3d(2), including floor semantics on
+    odd D/H."""
+    from neuroclear_tpu.nn.core import max_pool
+
+    rng = np.random.default_rng(4)
+    for shape in [(2, 6, 8, 16, 32), (1, 7, 5, 12, 16)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        y_ref = max_pool(x, 2, 3)
+        y_pk = pb.max_pool_packed(pb.pack(x))
+        np.testing.assert_allclose(np.asarray(y_pk), np.asarray(y_ref),
+                                   atol=0, rtol=0)
+
+
+def test_exit_packed_plan():
+    """exit_packed mirrors apply()'s per-unit decisions."""
+    from neuroclear_tpu.nn.generators import ConvBlock
+    from neuroclear_tpu.nn.norms import get_norm_spec
+
+    ns = get_norm_spec("instance", 3)
+    _enable(True)
+    try:
+        blk = ConvBlock(3, 1, 64, 2, ns)
+        assert blk._packed_plan((1, 6, 8, 16, 1)) == [False, True]
+        assert blk.exit_packed((1, 6, 8, 16, 1))
+        assert not blk.exit_packed((1, 6, 8, 15, 1))       # odd W
+        blk128 = ConvBlock(3, 64, 128, 2, ns)
+        assert blk128._packed_plan((1, 6, 8, 16, 64)) == [False, False]
+    finally:
+        _enable(False)
+    assert not blk.exit_packed((1, 6, 8, 16, 1))           # gate off
