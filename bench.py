@@ -100,8 +100,10 @@ def bench_train(crop: int, remat: bool) -> float:
         AxialToLateralGANApolloModel)
     from neuroclear_tpu.ops import pallas_wconv
 
-    # training scope: packed-layout temporaries OOM beside the 148^3 remat
-    # step (ops/pallas_wconv.py) — measure the production (XLA-conv) path
+    # training scope: measure the production default — packed-resident
+    # blocks and the Pallas W-conv are both opt-in for training (each OOMs
+    # beside the 148^3 production footprint; docs/PERFORMANCE.md
+    # "Packed-resident conv blocks")
     pallas_wconv.set_enabled(False)
 
     opt = argparse.Namespace(

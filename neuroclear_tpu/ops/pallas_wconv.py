@@ -68,7 +68,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def _pick_th(h: int, sp: int, lanes: int, itemsize: int):
+def _pick_th(h: int, sp: int, lanes: int, itemsize: int, nout: int = 128):
     """Largest row-strip height dividing h that keeps the working set
     (haloed input strip x2 shifted views + f32 accumulator) under budget."""
     best = None
@@ -76,14 +76,14 @@ def _pick_th(h: int, sp: int, lanes: int, itemsize: int):
         if h % th:
             continue
         strip = 3 * (th + 2) * sp * lanes * itemsize
-        acc = th * (sp - 1) * 128 * 4
+        acc = th * (sp - 1) * nout * 4
         # 2 DMA slots + 2 materialised shifted views + f32 accumulator
         if 4 * strip + acc <= _VMEM_BUDGET:
             best = th
     return best
 
 
-def _plan(h: int, sp: int, lanes: int, itemsize: int):
+def _plan(h: int, sp: int, lanes: int, itemsize: int, nout: int = 128):
     """Best (padded_h, th) strip plan.  H itself may only admit tiny strip
     heights (148 = 4 * 37: th=37 blows the VMEM budget at Sp=96, leaving
     th=4 whose per-program DMA/launch overhead dominates — measured 31 vs
@@ -91,7 +91,7 @@ def _plan(h: int, sp: int, lanes: int, itemsize: int):
     cost model = padding waste x halo DMA amplification."""
     best = None
     for hp in range(h, h + 33):
-        th = _pick_th(hp, sp, lanes, itemsize)
+        th = _pick_th(hp, sp, lanes, itemsize, nout)
         if th is None:
             continue
         cost = (hp / h) * ((th + 2) / th)
@@ -121,7 +121,8 @@ def supported(x_shape, cin: int, cout: int, k: int, stride: int,
     return _plan(h, sp, 2 * cin, 2) is not None
 
 
-def _kernel(x_hbm, w_ref, o_ref, scratch, sem, *, th, To, Sp, L, D, NH):
+def _kernel(x_hbm, w_ref, o_ref, scratch, sem, *, th, To, Sp, L, D, NH,
+            N=128):
     """One program: output rows [hi*th, hi*th+th) of z-slice z of batch b.
 
     To is the compute extent of the packed-S dim, padded up to the sublane
@@ -158,7 +159,7 @@ def _kernel(x_hbm, w_ref, o_ref, scratch, sem, *, th, To, Sp, L, D, NH):
     # the only sublane-dim slicing, done once: the two s-shifted views
     sv = (buf[:, :, 0:To, :], buf[:, :, 1:1 + To, :])
 
-    acc = jnp.zeros((th, To, 128), jnp.float32)
+    acc = jnp.zeros((th, To, N), jnp.float32)
     j = 0
     for dz in range(3):
         for dy in range(3):
@@ -169,29 +170,40 @@ def _kernel(x_hbm, w_ref, o_ref, scratch, sem, *, th, To, Sp, L, D, NH):
                     (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 j += 1
-    o_ref[:] = acc.reshape(1, th, To, 128).astype(o_ref.dtype)
+    o_ref[:] = acc.reshape(1, th, To, N).astype(o_ref.dtype)
 
 
-def _conv_pallas(x, w, packed_out=False):
-    """x: (B, D, H, W, cin) bf16; w: (3, 3, 3, cin, cout=64)."""
-    B, D, H, W, cin = x.shape
+def _geom(x_shape, dtype):
+    """Shared packed-layout geometry: (L, T, To, Sp) for an unpacked
+    NDHWC input shape."""
+    _B, _D, _H, W, cin = x_shape
     L = 2 * cin
     T = W // 2
     S = (W + 2) // 2
-    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    sub = 16 if dtype == jnp.bfloat16 else 8
     To = (T + sub - 1) // sub * sub
     Sp = (max(S, To + 1) + sub - 1) // sub * sub
-    Hp, th = _plan(H, Sp, L, x.dtype.itemsize)
+    return L, T, To, Sp
+
+
+def _conv_pallas(x, w, packed_out=False):
+    """x: (B, D, H, W, cin) bf16; w: (3, 3, 3, cin, cout), cout in
+    {64, 128} (the backward's dx conv has cout = cin)."""
+    B, D, H, W, cin = x.shape
+    cout = w.shape[-1]
+    N = 2 * cout
+    L, T, To, Sp = _geom(x.shape, x.dtype)
+    Hp, th = _plan(H, Sp, L, x.dtype.itemsize, N)
     dt = x.dtype
 
     xp = jnp.pad(x,
                  ((0, 0), (1, 1), (1, Hp - H + 1), (1, 2 * Sp - W - 1),
                   (0, 0)))
     X = xp.reshape(B, D + 2, Hp + 2, Sp, L)
-    w2 = pack_weights(w.astype(dt)).reshape(18, L, 128)
+    w2 = pack_weights(w.astype(dt)).reshape(18, L, N)
 
     kernel = functools.partial(_kernel, th=th, To=To, Sp=Sp, L=L, D=D,
-                               NH=Hp // th)
+                               NH=Hp // th, N=N)
     out = pl.pallas_call(
         kernel,
         grid=(B * D, Hp // th),
@@ -200,10 +212,10 @@ def _conv_pallas(x, w, packed_out=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights
         ],
         out_specs=pl.BlockSpec(
-            (1, th, To, 128),
+            (1, th, To, N),
             lambda p, hi: (p, hi, 0, 0),
         ),
-        out_shape=jax.ShapeDtypeStruct((B * D, Hp, To, 128), dt),
+        out_shape=jax.ShapeDtypeStruct((B * D, Hp, To, N), dt),
         scratch_shapes=[
             pltpu.VMEM((2, 3, th + 2, Sp, L), dt),
             pltpu.SemaphoreType.DMA((2,)),
@@ -212,14 +224,137 @@ def _conv_pallas(x, w, packed_out=False):
     )(X, w2)
     cropped = out[:, :H, :T, :]
     if packed_out:
-        return cropped.reshape(B, D, H, T, 128)  # phase-0 packed
-    return cropped.reshape(B, D, H, W, 64)
+        return cropped.reshape(B, D, H, T, N)   # phase-0 packed
+    return cropped.reshape(B, D, H, W, cout)
+
+
+def _dw_kernel(x_hbm, g_ref, o_ref, scratch, sem, *, th, To, Sp, L, D, NH):
+    """Weight-gradient reduction on the packed layout.  One program: the
+    (th, To) output-row strip's contribution to all 18 packed weight
+    blocks, accumulated into the revisited (18, L, 128) output block (TPU
+    grids run sequentially, so the VMEM-resident accumulator carries
+    across programs).  The x strips ride the same double-buffered DMA plan
+    as the forward kernel; g arrives as a pipelined BlockSpec input."""
+    p = pl.program_id(0)  # b * D + z
+    hi = pl.program_id(1)
+    n = p * NH + hi
+
+    def dma_for(m, slot):
+        bb = m // (D * NH)
+        zz = (m // NH) % D
+        hh = m % NH
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(zz, 3), pl.ds(hh * th, th + 2)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(n + 1 < pl.num_programs(0) * NH)
+    def _():
+        dma_for(n + 1, (n + 1) % 2).start()
+
+    dma_for(n, n % 2).wait()
+    buf = scratch.at[n % 2]
+    sv = (buf[:, :, 0:To, :], buf[:, :, 1:1 + To, :])
+
+    @pl.when(n == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    gq = g_ref[0].reshape(th * To, 128)
+    j = 0
+    for dz in range(3):
+        for dy in range(3):
+            for ds in range(2):
+                lhs = sv[ds][dz, dy:dy + th].reshape(th * To, L)
+                o_ref[j] = o_ref[j] + jax.lax.dot_general(
+                    lhs, gq, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                j += 1
+
+
+def _dw_pallas(x, g):
+    """dL/dw of the packed conv: x (B, D, H, W, cin) unpacked, g the
+    phase-0 packed cotangent (B, D, H, W//2, 128).  Returns the true
+    (3, 3, 3, cin, 64) gradient in f32 via the pack_weights adjoint."""
+    B, D, H, W, cin = x.shape
+    L, T, To, Sp = _geom(x.shape, x.dtype)
+    Hp, th = _plan(H, Sp, L, x.dtype.itemsize)
+    dt = x.dtype
+
+    xp = jnp.pad(x,
+                 ((0, 0), (1, 1), (1, Hp - H + 1), (1, 2 * Sp - W - 1),
+                  (0, 0)))
+    X = xp.reshape(B, D + 2, Hp + 2, Sp, L)
+    # rows [H, Hp) / cols [T, To) of each program's g block must be ZERO
+    # (the forward crops them as garbage; here they would pollute dw)
+    gp = jnp.pad(g.reshape(B * D, H, T, 128),
+                 ((0, 0), (0, Hp - H), (0, To - T), (0, 0)))
+
+    kernel = functools.partial(_dw_kernel, th=th, To=To, Sp=Sp, L=L, D=D,
+                               NH=Hp // th)
+    dwp = pl.pallas_call(
+        kernel,
+        grid=(B * D, Hp // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # packed x stays in HBM
+            pl.BlockSpec((1, th, To, 128), lambda p, hi: (p, hi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((18, L, 128), lambda p, hi: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((18, L, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, th + 2, Sp, L), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_INTERPRET and not _on_tpu(),
+    )(X, gp)
+    return _dw_unpack(dwp, cin)
+
+
+def _dw_unpack(dwp, cin):
+    """Adjoint of pack_weights: fold the (18, 2*cin, 128) packed-block
+    gradient back onto the true (3, 3, 3, cin, 64) kernel (each true tap
+    appears in exactly two (ds, wp, wo) slots)."""
+    d7 = dwp.reshape(3, 3, 2, 2, cin, 2, 64)
+    out = jnp.zeros((3, 3, 3, cin, 64), dwp.dtype)
+    for ds in (0, 1):
+        for wp in (0, 1):
+            for wo in (0, 1):
+                k = 2 * ds + wp - wo
+                if 0 <= k <= 2:
+                    out = out.at[:, :, k].add(d7[:, :, ds, wp, :, wo, :])
+    return out
+
+
+# Kill-switch for the Pallas backward (falls back to the XLA formulation)
+_BWD_ENV = os.environ.get("NEUROCLEAR_PALLAS_WBWD", "1") == "1"
+
+
+def _bwd_plans_ok(x_shape, dtype, cin):
+    """Both backward kernels must have a strip plan: the dx conv reads the
+    64-channel cotangent (L=128) and writes 2*cin lanes; dw rides the
+    forward's plan."""
+    _B, _D, H, W, _ = x_shape
+    if W % 2 or W < 4 or H < 2:
+        return False
+    Lg, _t, _to, Spg = _geom((_B, _D, H, W, 64), dtype)
+    Lx, _t, _to, Spx = _geom(x_shape, dtype)
+    item = jnp.dtype(dtype).itemsize
+    return (_plan(H, Spg, Lg, item, 2 * cin) is not None
+            and _plan(H, Spx, Lx, item) is not None)
 
 
 @jax.custom_vjp
 def conv3d_wpack_pallas(x, w):
-    """3x3x3 stride-1 SAME conv, NDHWC — W-pair packed Pallas kernel with
-    an XLA transposed-conv backward (trains under jax.grad)."""
+    """3x3x3 stride-1 SAME conv, NDHWC — W-pair packed Pallas kernel.
+    The backward also runs as packed Pallas kernels when a strip plan
+    exists (dx is itself a 3x3x3 conv with the flipped/transposed kernel;
+    dw is the packed reduction kernel above), else the XLA transposed-conv
+    formulation — either way it trains under jax.grad."""
     return _conv_pallas(x, w)
 
 
@@ -227,7 +362,7 @@ def _fwd(x, w):
     return _conv_pallas(x, w), (x, w)
 
 
-def _bwd(res, g):
+def _bwd_xla(res, g):
     x, w = res
     w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
     dx = jax.lax.conv_general_dilated(
@@ -240,6 +375,18 @@ def _bwd(res, g):
         window_strides=(1, 1, 1), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     dw = dw.transpose(1, 2, 3, 0, 4)      # (3,3,3,Cin,Cout)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+def _bwd(res, g):
+    x, w = res
+    cin = x.shape[-1]
+    if not (_BWD_ENV and _bwd_plans_ok(x.shape, x.dtype, cin)):
+        return _bwd_xla(res, g)
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx = _conv_pallas(g, w_flip.astype(g.dtype))
+    b, d, h, ww, _ = g.shape
+    dw = _dw_pallas(x, g.reshape(b, d, h, ww // 2, 128))
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 

@@ -69,6 +69,28 @@ def timed(fn, x, w, reps):
     return dt / reps, r
 
 
+def timed_grad(fn, x, w, reps):
+    """Like timed() but each step runs forward + full VJP (dx and dw), with
+    the same anti-hoist scalar chain threaded through dx."""
+
+    @jax.jit
+    def loop(x, w):
+        def body(h, _):
+            y, vjp = jax.vjp(fn, h, w)
+            dx, dw = vjp(y)
+            s = dx.reshape(-1)[0].astype(h.dtype)
+            return h * (1 + s * 1e-12), (y.mean()
+                                         + dw.sum()).astype(jnp.float32)
+        _, ys = jax.lax.scan(body, x, None, length=reps)
+        return ys.sum()
+
+    r = float(loop(x, w))  # compile + run
+    t0 = time.time()
+    r = float(loop(x, w))
+    dt = time.time() - t0
+    return dt / reps, r
+
+
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sizes = [int(s) for s in sys.argv[2:]] or [148, 224]
@@ -96,19 +118,33 @@ def main():
             w = jnp.asarray(
                 rng.standard_normal((3, 3, 3, cin, cout)) * 0.05, dtype)
             flops = 2 * size ** 3 * 27 * cin * cout
-            fns = [("xla", conv_xla), ("zpack2", conv3d_zpack2),
-                   ("wpack2", conv3d_wpack2)]
+            grad_mode = os.environ.get("CONV_BENCH_GRAD", "0") == "1"
+            fns = [("xla", conv_xla, None), ("zpack2", conv3d_zpack2, None),
+                   ("wpack2", conv3d_wpack2, None)]
             if pallas_wconv.supported((1, size, size, size, cin),
                                       cin, cout, 3, 1, 1, 3):
-                fns.append(("wpallas", pallas_wconv.conv3d_wpack_pallas))
-            for name, fn in fns:
+                if grad_mode:
+                    # both backward routes of the Pallas forward
+                    fns.append(("wpl+xbwd",
+                                pallas_wconv.conv3d_wpack_pallas, False))
+                    fns.append(("wpl+pbwd",
+                                pallas_wconv.conv3d_wpack_pallas, True))
+                else:
+                    fns.append(("wpallas",
+                                pallas_wconv.conv3d_wpack_pallas, None))
+            if grad_mode:
+                flops *= 3  # fwd + dx + dw
+            for name, fn, pbwd in fns:
+                if pbwd is not None:
+                    pallas_wconv._BWD_ENV = pbwd  # trace-time switch
                 try:
-                    t, _ = timed(fn, x, w, reps)
-                    print(f"{size}^3 cin{cin}->64 {name:7s}: "
+                    t, _ = (timed_grad if grad_mode else timed)(fn, x, w,
+                                                                reps)
+                    print(f"{size}^3 cin{cin}->64 {name:8s}: "
                           f"{t * 1e3:7.2f} ms  {flops / t / 1e12:6.1f} TFLOP/s",
                           flush=True)
                 except Exception as e:
-                    print(f"{size}^3 cin{cin}->64 {name:7s}: FAILED "
+                    print(f"{size}^3 cin{cin}->64 {name:8s}: FAILED "
                           f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 

@@ -290,3 +290,57 @@ def test_conv_wpack_pallas_interpret_parity():
         os.environ.pop("NEUROCLEAR_PALLAS_WCONV", None)
         os.environ.pop("NEUROCLEAR_PALLAS_INTERPRET", None)
         importlib.reload(pallas_wconv)
+
+
+def test_conv_wpack_pallas_backward_kernels():
+    """The Pallas BACKWARD kernels (dx = packed conv of the cotangent with
+    the flipped/transposed kernel; dw = the packed reduction kernel +
+    pack_weights adjoint) match the XLA transposed-conv backward for both
+    production cin widths, through both the plain and the packed-resident
+    entries (interpret mode)."""
+    import os
+
+    import numpy as np
+
+    os.environ["NEUROCLEAR_PALLAS_WCONV"] = "1"
+    os.environ["NEUROCLEAR_PALLAS_INTERPRET"] = "1"
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from neuroclear_tpu.ops import pallas_wconv
+
+    importlib.reload(pallas_wconv)
+    try:
+        rng = np.random.default_rng(3)
+        for cin in (64, 128):
+            x = jnp.asarray(rng.normal(size=(1, 4, 6, 16, cin))
+                            .astype(np.float32))
+            w = jnp.asarray((rng.normal(size=(3, 3, 3, cin, 64)) * 0.05)
+                            .astype(np.float32))
+            g = jnp.asarray(rng.normal(size=(1, 4, 6, 16, 64))
+                            .astype(np.float32))
+            assert pallas_wconv._bwd_plans_ok(x.shape, x.dtype, cin)
+
+            dx_p, dw_p = pallas_wconv._bwd((x, w), g)
+            dx_r, dw_r = pallas_wconv._bwd_xla((x, w), g)
+            np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                                       atol=2e-4, rtol=2e-4)
+            np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_r),
+                                       atol=2e-4, rtol=2e-4)
+
+            # packed-resident entry: same cotangent, packed layout
+            xp = x.reshape(1, 4, 6, 8, 2 * cin)
+            gp = g.reshape(1, 4, 6, 8, 128)
+            dxp_p, dwp_p = jax.vjp(
+                pallas_wconv.conv3d_wpack_pallas_packed, xp, w)[1](gp)
+            np.testing.assert_allclose(np.asarray(dxp_p),
+                                       np.asarray(dx_r.reshape(xp.shape)),
+                                       atol=2e-4, rtol=2e-4)
+            np.testing.assert_allclose(np.asarray(dwp_p), np.asarray(dw_r),
+                                       atol=2e-4, rtol=2e-4)
+    finally:
+        os.environ.pop("NEUROCLEAR_PALLAS_WCONV", None)
+        os.environ.pop("NEUROCLEAR_PALLAS_INTERPRET", None)
+        importlib.reload(pallas_wconv)

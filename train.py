@@ -26,6 +26,8 @@ from neuroclear_tpu.utils.visualizer import Visualizer
 
 if __name__ == "__main__":
     maybe_initialize_distributed()
+    # packed-resident conv blocks are opt-in (NEUROCLEAR_PACKED_BLOCK=1);
+    # see train_onecube.py for the measured scope
     opt = TrainOptions().parse()
     if getattr(opt, "grad_accum", 1) > 1:
         raise SystemExit("--grad_accum is a train_onecube.py feature (it needs "

@@ -45,6 +45,11 @@ from neuroclear_tpu.utils.visualizer import Visualizer
 
 if __name__ == "__main__":
     maybe_initialize_distributed()
+    # packed-resident conv blocks (ops/packed_block.py) measured 1.60 vs
+    # 1.72 s/it (apollo 148^3 +remat bf16, v5e) but OOM beside this
+    # trainer's HBM-resident training volume at the production 148^3/700^3
+    # operating point — opt in with NEUROCLEAR_PACKED_BLOCK=1 where the
+    # footprint allows (smaller crops/volumes); docs/PERFORMANCE.md.
     opt = TrainOptions().parse()
 
     dataset_class = data.find_dataset_using_name(opt.dataset_mode)
