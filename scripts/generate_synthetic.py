@@ -41,7 +41,19 @@ if __name__ == "__main__":
                     help="photon count at intensity 1.0 (higher = less "
                          "shot noise)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--preset", choices=["s4"], default=None,
+                    help="named study recipe (overrides individual knobs): "
+                         "s4 = sigma_z=4 / 2x bead density / half read "
+                         "noise / 2x photon count — the round-3 "
+                         "isotropization+PSNR regime (docs/QUALITY.md)")
     args = ap.parse_args()
+
+    if args.preset == "s4":
+        args.axial_sigma = 4.0
+        args.gauss_noise = 0.005
+        args.poisson_peak = 400.0
+        if args.n_beads is None:
+            args.n_beads = max(50, int(2400 * (args.size / 300) ** 3))
 
     n_beads = args.n_beads
     if n_beads is None:
