@@ -41,6 +41,18 @@ if [ ! -d "$DATA/input" ]; then
   python scripts/generate_synthetic.py --out "$DATA" --size 700 --seed 0
 fi
 
+# Durable resume: in environments where untracked files do not survive
+# restarts (this dev harness wipes everything but git-tracked content
+# between driver sessions), the latest checkpoint set can be banked into
+# the git-TRACKED study_state/ dir (scripts/bank_study_state.sh).  Seed
+# the working checkpoint dir from the bank when starting cold.
+BANK=${BANK:-study_state/$NAME}
+if [ -d "$BANK" ] && [ -z "$(ls "$CKPT/$NAME"/iter_*_net_G_A.npz 2>/dev/null)" ]; then
+  mkdir -p "$CKPT/$NAME"
+  cp "$BANK"/iter_* "$CKPT/$NAME/" 2>/dev/null && \
+    echo "seeded $CKPT/$NAME from bank $BANK" >> "$LOG/driver.log" || true
+fi
+
 MODEL_FLAGS=${MODEL_FLAGS:-"--model axial_to_lateral_gan_apollo \
  --lambda_plane 1 1 1 --randomize_projection_depth --projection_depth 10"}
 
