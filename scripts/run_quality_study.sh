@@ -113,6 +113,11 @@ while true; do
   timeout $SEG_TIMEOUT python train_onecube.py $TRAIN_FLAGS $RESUME \
     --max_iters $SEG_ITERS >> "$LOG/train.log" 2>&1
   echo "segment rc=$? last=$(last_ckpt) $(date +%H:%M:%S)" >> "$LOG/driver.log"
+  # AUTOBANK=1: bank every segment's latest checkpoints into the
+  # git-tracked study_state/ dir (the builder session commits the bank).
+  if [ "${AUTOBANK:-0}" = "1" ]; then
+    scripts/bank_study_state.sh "$CKPT" "$NAME" >> "$LOG/driver.log" 2>&1 || true
+  fi
   P2=$(last_ckpt); P2=${P2:-0}
   for M in $EVALS; do
     if [ "$P2" -ge "$M" ] && [ ! -f "$LOG/eval_$M.done" ]; then
