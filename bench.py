@@ -161,8 +161,65 @@ def _device_alive(timeout_s: float) -> bool:
     return bool(ok and ok[0])
 
 
+def _stop_running_study():
+    """Free the chip if a background quality-study driver is still training
+    when the round-end bench fires.  The study launcher records its process
+    group in .study/study.pgid; stop the group, then bank the latest
+    checkpoints into the git-tracked study_state/ so the round-end commit
+    preserves the training progress (the study resumes from the bank on its
+    next launch — checkpoint+optimizer resume is exact)."""
+    import glob
+    import signal
+    import subprocess
+
+    # the launcher records the driver's pgid in .study/study.pgid; each
+    # segment/eval child runs under GNU timeout, which setpgid()s it into
+    # its OWN group, recorded as <log_dir>/child.pgid by run_child()
+    pgfs = [".study/study.pgid"] + glob.glob(".study/*/child.pgid")
+    pgids = []
+    for pgf in pgfs:
+        try:
+            pgids.append(int(open(pgf).read().strip()))
+        except (ValueError, OSError):
+            continue
+    if not pgids:
+        return
+    killed = False
+    for pgid in pgids:
+        try:
+            os.killpg(pgid, signal.SIGTERM)
+        except (ProcessLookupError, PermissionError):
+            continue
+        killed = True
+        print(f"# bench: stopped study process group {pgid}", file=sys.stderr)
+    if killed:
+        time.sleep(6)
+        for pgid in pgids:
+            try:
+                os.killpg(pgid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+        time.sleep(4)
+    for pgf in pgfs:
+        try:
+            os.remove(pgf)
+        except OSError:
+            pass
+    for run_dir in glob.glob(".study/ckpt_*/*/"):
+        run_dir = run_dir.rstrip("/")
+        ckpt_root, name = os.path.split(run_dir)
+        try:
+            subprocess.run(["scripts/bank_study_state.sh", ckpt_root, name],
+                           timeout=600, capture_output=True)
+            print(f"# bench: banked study state for {name}", file=sys.stderr)
+        except Exception as e:  # banking must never break the bench
+            print(f"# bench: bank failed for {name}: {e}", file=sys.stderr)
+
+
 def main():
     size = int(os.environ.get("BENCH_SIZE", "900"))
+
+    _stop_running_study()
 
     # retry window for transient wedges, then fail loudly instead of hanging
     probe_retries = int(os.environ.get("BENCH_PROBE_RETRIES", "3"))

@@ -56,6 +56,20 @@ fi
 MODEL_FLAGS=${MODEL_FLAGS:-"--model axial_to_lateral_gan_apollo \
  --lambda_plane 1 1 1 --randomize_projection_depth --projection_depth 10"}
 
+# GNU timeout setpgid()s its child into a fresh process group, so killing
+# the driver's group does NOT stop a running segment.  Record the child
+# group (pgid == timeout's pid) in $LOG/child.pgid while it runs; the
+# round-end reaper (bench.py _stop_running_study) kills those groups too.
+run_child() {
+  "$@" &
+  local CPID=$!
+  echo "$CPID" > "$LOG/child.pgid"
+  wait "$CPID"
+  local RC=$?
+  rm -f "$LOG/child.pgid"
+  return $RC
+}
+
 TRAIN_FLAGS="--dataroot $DATA/input --checkpoints_dir $CKPT --name $NAME \
  --dataset_mode singlevolume \
  --preprocess random3Drotate_randomcrop_randomflip_addColorChannel_addBatchChannel \
@@ -87,7 +101,7 @@ eval_at() {
   for wc in 0 unset; do
     if [ "$wc" = unset ]; then WENV=(env -u NEUROCLEAR_PALLAS_WCONV);
     else WENV=(env NEUROCLEAR_PALLAS_WCONV=$wc); fi
-    "${WENV[@]}" timeout 3000 python test_dice.py \
+    run_child "${WENV[@]}" timeout 3000 python test_dice.py \
       --dataroot "$DATA/input" --dataroot_gt "$DATA/gt" \
       --checkpoints_dir "$CKPT" --results_dir "$RESULTS" --name $NAME \
       --serial_batches --preprocess addColorChannel --dataset_mode diceImage \
@@ -110,7 +124,7 @@ while true; do
   RESUME=""
   if [ "$P" -gt 0 ]; then RESUME="--continue_train --load_iter $P"; fi
   echo "=== segment $SEG from iter $P $(date +%H:%M:%S)" >> "$LOG/driver.log"
-  timeout $SEG_TIMEOUT python train_onecube.py $TRAIN_FLAGS $RESUME \
+  run_child timeout $SEG_TIMEOUT python train_onecube.py $TRAIN_FLAGS $RESUME \
     --max_iters $SEG_ITERS >> "$LOG/train.log" 2>&1
   echo "segment rc=$? last=$(last_ckpt) $(date +%H:%M:%S)" >> "$LOG/driver.log"
   # AUTOBANK=1: bank every segment's latest checkpoints into the

@@ -194,3 +194,45 @@ def test_streaming_tiff_writer_guards(tmp_path):
     w.close()
     # 4 GB classic-TIFF guard
     assert not tiffio.StreamingTiffWriter.fits((2048, 2048, 2048), np.uint16)
+
+
+def test_bench_stop_running_study(tmp_path, monkeypatch):
+    """bench.py's round-end failsafe: a stale study pgid file is cleaned up
+    and the study's latest checkpoints are banked into study_state/ (so the
+    round-end commit preserves training progress) without killing anything
+    when the process group is already gone."""
+    import shutil
+    import subprocess
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    (tmp_path / "scripts").mkdir()
+    shutil.copy(os.path.join(repo, "scripts", "bank_study_state.sh"),
+                tmp_path / "scripts" / "bank_study_state.sh")
+    run = tmp_path / ".study" / "ckpt_x" / "runA"
+    run.mkdir(parents=True)
+    (run / "iter_50_net_G_A.npz").write_bytes(b"x")
+    (run / "iter_50_net_G_B.npz").write_bytes(b"x")
+    # pgids that cannot exist (> kernel pid_max default); segment children
+    # run under GNU timeout in their OWN process groups, recorded per log
+    # dir as child.pgid — the reaper must collect those too
+    (tmp_path / ".study" / "study.pgid").write_text("99999999")
+    (tmp_path / ".study" / "log_x").mkdir()
+    (tmp_path / ".study" / "log_x" / "child.pgid").write_text("99999998")
+    monkeypatch.chdir(tmp_path)
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(repo, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod._stop_running_study()
+
+    assert not (tmp_path / ".study" / "study.pgid").exists()
+    assert not (tmp_path / ".study" / "log_x" / "child.pgid").exists()
+    bank = tmp_path / "study_state" / "runA"
+    assert sorted(p.name for p in bank.iterdir()) == [
+        "iter_50_net_G_A.npz", "iter_50_net_G_B.npz"]
+    # without a pgid file the hook is a no-op (does not touch study_state)
+    shutil.rmtree(tmp_path / "study_state")
+    mod._stop_running_study()
+    assert not (tmp_path / "study_state").exists()
