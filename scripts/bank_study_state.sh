@@ -13,8 +13,11 @@ set -eu
 cd "$(dirname "$0")/.."
 CKPT=$1
 NAME=$2
-LATEST=$(ls "$CKPT/$NAME"/iter_*_net_G_A.npz 2>/dev/null \
-  | sed 's/.*iter_\([0-9]*\)_net.*/\1/' | sort -n | tail -1)
+# key on _optim.npz: it is written last in an atomic save sequence, so its
+# presence marks a COMPLETE checkpoint set (matches last_ckpt in
+# run_quality_study.sh)
+LATEST=$(ls "$CKPT/$NAME"/iter_*_optim.npz 2>/dev/null \
+  | sed 's/.*iter_\([0-9]*\)_optim.*/\1/' | sort -n | tail -1)
 if [ -z "${LATEST:-}" ]; then
   echo "no checkpoints under $CKPT/$NAME" >&2
   exit 1

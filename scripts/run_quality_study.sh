@@ -81,10 +81,14 @@ TRAIN_FLAGS="--dataroot $DATA/input --checkpoints_dir $CKPT --name $NAME \
  --print_freq $PRINT_FREQ --display_freq 1000000 --seed 0 \
  --watchdog_secs $WATCHDOG $EXTRA_TRAIN_FLAGS"
 
+# A checkpoint set is complete iff its _optim.npz exists: saves are atomic
+# (tmp+rename) and the optimizer file is written LAST (base_model.py
+# save_networks).  Keying on it accepts end-of-segment saves at arbitrary
+# iteration numbers (e.g. iter_651) that the old "% SAVE_FREQ == 0" filter
+# silently discarded — which made banked non-round checkpoints unresumable.
 last_ckpt() {
-  ls "$CKPT/$NAME"/iter_*_net_G_A.npz 2>/dev/null \
-   | sed 's/.*iter_\([0-9]*\)_net.*/\1/' \
-   | awk -v f="$SAVE_FREQ" '$1 % f == 0' | sort -n | tail -1
+  ls "$CKPT/$NAME"/iter_*_optim.npz 2>/dev/null \
+   | sed 's/.*iter_\([0-9]*\)_optim.*/\1/' | sort -n | tail -1
 }
 
 eval_at() {
