@@ -172,6 +172,17 @@ def _stop_running_study():
     import signal
     import subprocess
 
+    # Cooperative stop FIRST: the study drivers (run_quality_study.sh /
+    # run_study_queue.sh) check .study/STOP before starting each segment,
+    # eval, or next study — so even a driver loop whose pgid was never
+    # recorded (e.g. launched as a plain background shell) stops instead
+    # of starting new chip work under the bench.
+    if os.path.isdir(".study"):
+        try:
+            open(".study/STOP", "w").close()
+        except OSError:
+            pass
+
     # the launcher records the driver's pgid in .study/study.pgid; each
     # segment/eval child runs under GNU timeout, which setpgid()s it into
     # its OWN group, recorded as <log_dir>/child.pgid by run_child()
@@ -183,6 +194,7 @@ def _stop_running_study():
         except (ValueError, OSError):
             continue
     if not pgids:
+        time.sleep(4)  # let a STOP-checking driver loop notice and exit
         return
     killed = False
     for pgid in pgids:

@@ -103,6 +103,7 @@ eval_at() {
   # set_enabled(True) default actually engages — NEUROCLEAR_PALLAS_WCONV=""
   # (set-but-empty) pins ENABLED off, it does NOT mean "default".
   for wc in 0 unset; do
+    if [ -f .study/STOP ]; then return 1; fi
     if [ "$wc" = unset ]; then WENV=(env -u NEUROCLEAR_PALLAS_WCONV);
     else WENV=(env NEUROCLEAR_PALLAS_WCONV=$wc); fi
     run_child "${WENV[@]}" timeout 3000 python test_dice.py \
@@ -119,8 +120,17 @@ eval_at() {
   grep "psnr" "$LOG/eval_$it.log"
 }
 
+# Cooperative stop: the round-end bench (bench.py _stop_running_study)
+# touches .study/STOP and kills the current segment's child pgid; this
+# loop must then NOT start another segment.  A stale STOP from a previous
+# round is cleared here at launch.
+rm -f .study/STOP
 SEG=0
 while true; do
+  if [ -f .study/STOP ]; then
+    echo "STOP file present; exiting cleanly $(date +%H:%M:%S)" >> "$LOG/driver.log"
+    exit 0
+  fi
   P=$(last_ckpt); P=${P:-0}
   if [ "$P" -ge "$MAX_ITERS" ]; then break; fi
   SEG=$((SEG+1))
@@ -156,6 +166,7 @@ while true; do
   done
 done
 F=$(last_ckpt)
+if [ -f .study/STOP ]; then exit 0; fi
 if [ ! -f "$LOG/eval_final.done" ]; then
   echo "--- final eval at $F" >> "$LOG/driver.log"
   if eval_at "$F" --save_volume >> "$LOG/driver.log" 2>&1; then

@@ -25,6 +25,13 @@ study_done() {  # $1=bank name  $2=max iters  $3=log dir
   [ "$B" -ge "$2" ] && [ -f "$3/eval_final.done" ]
 }
 
+# Clear any stale bench STOP at queue launch; honour a fresh one between
+# studies (bench.py touches .study/STOP to claim the chip at round end).
+mkdir -p .study
+rm -f .study/STOP
+bench_stop() { [ -f .study/STOP ] && { echo "STOP: yielding chip to bench"; exit 0; }; }
+
+bench_stop
 if [[ "$SKIP" != *" s4 "* ]] && ! study_done apollo148s4 11000 .study/log_s4; then
   if [ ! -d .study/sim700_s4/input ]; then
     python scripts/generate_synthetic.py --out .study/sim700_s4 --size 700 \
@@ -34,6 +41,7 @@ if [[ "$SKIP" != *" s4 "* ]] && ! study_done apollo148s4 11000 .study/log_s4; th
     scripts/run_quality_study.sh .study/sim700_s4 .study/ckpt_s4 .study/log_s4
 fi
 
+bench_stop
 if [[ "$SKIP" != *" ga8 "* ]] && ! study_done apollo148ga8 1375 .study/log_ga8; then
   # sim700 is the sigma_z=6 round-2 volume (generator defaults, seed 0) —
   # the gate baseline 20.34 dB in docs/QUALITY.md was measured on it.
@@ -46,6 +54,7 @@ if [[ "$SKIP" != *" ga8 "* ]] && ! study_done apollo148ga8 1375 .study/log_ga8; 
     scripts/run_quality_study.sh .study/sim700 .study/ckpt_ga8 .study/log_ga8
 fi
 
+bench_stop
 if [[ "$SKIP" != *" athena "* ]] && ! study_done athena148 3000 .study/log_art; then
   if [ ! -d .study/sim700_art/input ]; then
     python scripts/generate_synthetic.py --out .study/sim700_art --size 700 \
