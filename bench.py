@@ -2,6 +2,9 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+ALWAYS — any failure is reported inside the JSON (`extra.error` / per-leg
+error strings), never as a bare traceback with no line (the round-3 record
+died rc=1 with no JSON exactly that way).
 
 Baselines (BASELINE.md): reference inference on GTX 1080-Ti = ~2.0 Mvoxel/s
 (900^3 in 5-8 min, README tile geometry 120/15/10); reference training =
@@ -17,45 +20,76 @@ Apples-to-apples notes (VERDICT r1 #3):
     compute); vs_baseline uses the README geometry so the ratio is
     measured like-for-like.
 
+Isolation (VERDICT r3 weak #1): every leg runs in a FRESH SUBPROCESS, so a
+leg that dies (RESOURCE_EXHAUSTED, kernel-compile regression, wedged
+tunnel) releases its HBM with its process and cannot poison the next leg's
+allocator or hang the whole bench — the parent applies a per-leg timeout
+and keeps going.
+
 Env knobs: BENCH_SIZE (default 900), BENCH_TILE_BATCH (default 1 —
 HBM-safe at ext 224^3), BENCH_PRECISION (default bfloat16),
 BENCH_TRAIN=0 to skip train timings, BENCH_FAST_ONLY=1 to skip the
-README-geometry inference run.
+roi-204 throughput-geometry run, BENCH_LEG_TIMEOUT (default 1500 s).
 """
 
+import argparse
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp"))
+def _setup_jax():
+    import jax
 
-# honour JAX_PLATFORMS even on hosts whose sitecustomize re-forces a TPU
-# plugin after env-var selection
-if os.environ.get("JAX_PLATFORMS"):
-    try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    # honour JAX_PLATFORMS even on hosts whose sitecustomize re-forces a TPU
+    # plugin after env-var selection
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    return jax
 
 
-def bench_inference(size: int, tile_batch: int, roi: int, ov: int,
-                    bc: int) -> float:
+# --------------------------------------------------------------------------
+# legs (each runs in its own subprocess; prints one JSON line on stdout)
+# --------------------------------------------------------------------------
+
+def leg_probe() -> dict:
+    """Bounded device liveness + identity. The axon tunnel can wedge such
+    that device init blocks forever; the parent's subprocess timeout bounds
+    that here (no daemon-thread tricks needed)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    ok = float(jnp.ones((256, 256)).sum()) == 256.0 * 256.0
+    dev = jax.devices()[0]
+    return {"ok": ok,
+            "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"}
+
+
+def leg_inference(size: int, tile_batch: int, roi: int, ov: int,
+                  bc: int) -> dict:
+    _setup_jax()
+    import jax
+
     from neuroclear_tpu.data.dicing import DiceGrid
     from neuroclear_tpu.nn import generators as G
+    from neuroclear_tpu.ops import pallas_wconv
     from neuroclear_tpu.parallel.dice_infer import DiceInferencePipeline
     from neuroclear_tpu.utils.imageops import pad_for_dicing
 
-    # forward-only leg: the W-pair Pallas conv applies (see ops/pallas_wconv)
-    from neuroclear_tpu.ops import pallas_wconv
-
-    pallas_wconv.set_enabled(True)
+    # forward-only leg: the W-pair Pallas conv applies unless the parent
+    # disabled it via NEUROCLEAR_PALLAS_WCONV=0 (retry path)
+    if os.environ.get("NEUROCLEAR_PALLAS_WCONV") != "0":
+        pallas_wconv.set_enabled(True)
 
     rng = np.random.default_rng(0)
     vol = rng.integers(0, 65535, (size, size, size), dtype=np.uint16)
@@ -84,17 +118,18 @@ def bench_inference(size: int, tile_batch: int, roi: int, ov: int,
     dt = time.time() - t0
     del out
     n_vox = size ** 3
-    print(f"# inference {size}^3 roi{roi}/ov{ov}/bc{bc}: "
+    print(f"# inference {size}^3 roi{roi}/ov{ov}/bc{bc} B{tile_batch}: "
           f"first(compile+run) {compile_run:.1f}s, "
           f"steady {dt:.2f}s -> {n_vox / dt / 1e6:.1f} Mvoxel/s",
           file=sys.stderr)
-    return n_vox / dt
+    return {"vox_per_s": n_vox / dt, "steady_s": dt,
+            "first_s": compile_run, "wpallas": pallas_wconv.ENABLED}
 
 
-def bench_train(crop: int, remat: bool) -> float:
+def leg_train(crop: int, remat: bool) -> dict:
     """Synchronous step time (each step fetches its losses — no async
     dispatch hiding) for the production apollo config at `crop`^3."""
-    import argparse
+    _setup_jax()
 
     from neuroclear_tpu.models.axial_to_lateral_gan_apollo_model import (
         AxialToLateralGANApolloModel)
@@ -136,197 +171,197 @@ def bench_train(crop: int, remat: bool) -> float:
     step = statistics.median(ts)
     print(f"# train {crop}^3{' +remat' if remat else ''}: "
           f"{step * 1000:.0f} ms/it -> {1 / step:.2f} it/s", file=sys.stderr)
-    return 1.0 / step
+    return {"it_per_s": 1.0 / step, "step_ms": step * 1000}
 
 
-def _device_alive(timeout_s: float) -> bool:
-    """Bounded liveness probe: the axon tunnel can wedge such that device
-    init blocks FOREVER (observed multi-hour sprees) — a bench that hangs
-    is worse than one that reports the outage.  The probe runs in a daemon
-    thread; on timeout the process exits with an explicit error JSON."""
-    import threading
-
-    ok = []
-
-    def probe():
-        try:
-            import jax.numpy as jnp
-            ok.append(float(jnp.ones((256, 256)).sum()) == 256.0 * 256.0)
-        except Exception:
-            ok.append(False)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok and ok[0])
-
+# --------------------------------------------------------------------------
+# parent orchestration
+# --------------------------------------------------------------------------
 
 def _stop_running_study():
     """Free the chip if a background quality-study driver is still training
-    when the round-end bench fires.  The study launcher records its process
-    group in .study/study.pgid; stop the group, then bank the latest
-    checkpoints into the git-tracked study_state/ so the round-end commit
-    preserves the training progress (the study resumes from the bank on its
-    next launch — checkpoint+optimizer resume is exact)."""
-    import glob
-    import signal
-    import subprocess
+    when the round-end bench fires (see utils/study_guard.py)."""
+    from neuroclear_tpu.utils.study_guard import stop_running_study
 
-    # Cooperative stop FIRST: the study drivers (run_quality_study.sh /
-    # run_study_queue.sh) check .study/STOP before starting each segment,
-    # eval, or next study — so even a driver loop whose pgid was never
-    # recorded (e.g. launched as a plain background shell) stops instead
-    # of starting new chip work under the bench.
-    if os.path.isdir(".study"):
-        try:
-            open(".study/STOP", "w").close()
-        except OSError:
-            pass
+    stop_running_study(bank=True,
+                       log=lambda m: print(f"# bench: {m.lstrip('# ')}",
+                                           file=sys.stderr))
 
-    # the launcher records the driver's pgid in .study/study.pgid; each
-    # segment/eval child runs under GNU timeout, which setpgid()s it into
-    # its OWN group, recorded as <log_dir>/child.pgid by run_child()
-    pgfs = [".study/study.pgid"] + glob.glob(".study/*/child.pgid")
-    pgids = []
-    for pgf in pgfs:
-        try:
-            pgids.append(int(open(pgf).read().strip()))
-        except (ValueError, OSError):
-            continue
-    if not pgids:
-        time.sleep(4)  # let a STOP-checking driver loop notice and exit
-        return
-    killed = False
-    for pgid in pgids:
-        try:
-            os.killpg(pgid, signal.SIGTERM)
-        except (ProcessLookupError, PermissionError):
-            continue
-        killed = True
-        print(f"# bench: stopped study process group {pgid}", file=sys.stderr)
-    if killed:
-        time.sleep(6)
-        for pgid in pgids:
+
+def _run_leg(leg_args: list, timeout_s: float, env: dict | None = None):
+    """Spawn `python bench.py --leg ...`; return (parsed_json, None) or
+    (None, error_string).  The child's stderr passes through."""
+    cmd = [sys.executable, os.path.abspath(__file__)] + leg_args
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
+    try:
+        r = subprocess.run(cmd, timeout=timeout_s, env=full_env,
+                           stdout=subprocess.PIPE, text=True)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout_s:.0f}s"
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
             try:
-                os.killpg(pgid, signal.SIGKILL)
-            except (ProcessLookupError, PermissionError):
-                pass
-        time.sleep(4)
-    for pgf in pgfs:
-        try:
-            os.remove(pgf)
-        except OSError:
-            pass
-    for run_dir in glob.glob(".study/ckpt_*/*/"):
-        run_dir = run_dir.rstrip("/")
-        ckpt_root, name = os.path.split(run_dir)
-        try:
-            subprocess.run(["scripts/bank_study_state.sh", ckpt_root, name],
-                           timeout=600, capture_output=True)
-            print(f"# bench: banked study state for {name}", file=sys.stderr)
-        except Exception as e:  # banking must never break the bench
-            print(f"# bench: bank failed for {name}: {e}", file=sys.stderr)
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                break
+    tail = (r.stdout or "").strip().splitlines()[-3:]
+    return None, f"rc={r.returncode}, no JSON ({' | '.join(tail)[:300]})"
 
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", "900"))
+    leg_timeout = float(os.environ.get("BENCH_LEG_TIMEOUT", "1500"))
+    tile_batch = int(os.environ.get("BENCH_TILE_BATCH", "1"))
 
     _stop_running_study()
 
-    # retry window for transient wedges, then fail loudly instead of hanging
-    probe_retries = int(os.environ.get("BENCH_PROBE_RETRIES", "3"))
-    for attempt in range(probe_retries):
-        if _device_alive(timeout_s=180):
-            break
-        print(f"# device probe {attempt + 1}/{probe_retries} timed out",
-              file=sys.stderr)
-        if attempt + 1 == probe_retries:
-            print(json.dumps({
-                "metric": "dice_inference_voxels_per_sec", "value": None,
-                "unit": "voxel/s", "vs_baseline": None,
-                "extra": {"error": "device unavailable (init wedged; "
-                                   "probe timed out 3x180s)"},
-            }))
-            os._exit(3)
-        time.sleep(120)
-    # tile_batch 1 at roi 204 (ext 224^3) is the HBM-safe default on 16GB
-    tile_batch = int(os.environ.get("BENCH_TILE_BATCH", "1"))
-
     extra = {}
-    # chip/session provenance: round-over-round deltas on this dev chip vary
-    # ~2x between sessions, so the JSON records what it ran on
-    try:
-        dev = jax.devices()[0]
-        extra["device"] = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
-    except Exception:
-        pass
 
-    from neuroclear_tpu.ops import pallas_wconv
-    try:
-        vox_fast = bench_inference(size, tile_batch, roi=204, ov=15, bc=10)
-        extra["wpallas"] = pallas_wconv.ENABLED
-    except Exception as e:
-        # a W-pair kernel compile regression must not kill the headline:
-        # rerun the leg with the Pallas conv forced off and say so
-        print(f"# roi204 leg failed with wpallas ({e}); retrying without",
+    # liveness probe — ADVISORY: the axon tunnel recovers from wedge sprees
+    # on minute timescales (observed: a probe failing 2x240s with the
+    # device back 5 min later), so failed probes do NOT abort the bench;
+    # they only mark the record and gate how much budget the legs get.
+    probe_retries = int(os.environ.get("BENCH_PROBE_RETRIES", "2"))
+    probe_ok = False
+    for attempt in range(probe_retries):
+        probe, err = _run_leg(["--leg", "probe"], timeout_s=300)
+        if probe and probe.get("ok"):
+            extra["device"] = probe.get("device")
+            probe_ok = True
+            break
+        print(f"# device probe {attempt + 1}/{probe_retries} failed: {err}",
               file=sys.stderr)
-        os.environ["NEUROCLEAR_PALLAS_WCONV"] = "0"
-        pallas_wconv._ENV = "0"
-        pallas_wconv.ENABLED = False
-        vox_fast = bench_inference(size, tile_batch, roi=204, ov=15, bc=10)
-        extra["wpallas"] = False
-        extra["wpallas_fallback"] = True
-    extra["inference_vox_per_s_roi204"] = round(vox_fast, 1)
-    vox_readme = None
+        if attempt + 1 < probe_retries:
+            time.sleep(60)
+    if not probe_ok:
+        extra["probe_failed"] = True
+        print("# proceeding to the headline leg anyway (probe is advisory; "
+              "its own timeout bounds a dead device)", file=sys.stderr)
+
+    def inference(tb, roi, wpallas_retry=True):
+        """One inference geometry, subprocess-isolated; on failure retry
+        once with the Pallas W-pair conv forced off (fresh process, so the
+        failed leg's HBM is truly gone — no allocator carry-over)."""
+        args = ["--leg", "inference", "--size", str(size), "--tile-batch",
+                str(tb), "--roi", str(roi), "--ov", "15", "--bc", "10"]
+        res, err = _run_leg(args, leg_timeout)
+        if res:
+            return res, None
+        print(f"# roi{roi} leg failed ({err})", file=sys.stderr)
+        if not wpallas_retry:
+            return None, err
+        print(f"# retrying roi{roi} without the Pallas W-conv",
+              file=sys.stderr)
+        res, err2 = _run_leg(args, leg_timeout,
+                             env={"NEUROCLEAR_PALLAS_WCONV": "0"})
+        if res:
+            res["wpallas_fallback"] = True
+            return res, None
+        return None, f"{err}; retry without wpallas: {err2}"
+
+    # README geometry FIRST — it is the headline (like-for-like vs the
+    # reference's 120/15/10 example flags); a later-leg wedge cannot eat it.
+    # tile_batch 2: the hardware-proven configuration from the
+    # quality-study evals (B=4 has failed remote-compile at this geometry).
+    r120, err120 = inference(int(os.environ.get("BENCH_TILE_BATCH_120", "2")),
+                             120, wpallas_retry=probe_ok)
+    if not r120 and not probe_ok:
+        # dead device confirmed twice over — don't burn hours of leg
+        # timeouts; emit the record and stop
+        print(json.dumps({
+            "metric": "dice_inference_voxels_per_sec", "value": None,
+            "unit": "voxel/s", "vs_baseline": None,
+            "extra": {"error": f"device unavailable (probe failed and "
+                               f"headline leg failed: {err120})"},
+        }))
+        return
+    if r120:
+        extra["inference_vox_per_s_roi120"] = round(r120["vox_per_s"], 1)
+        extra["wpallas_roi120"] = r120["wpallas"]
+        if r120.get("wpallas_fallback"):
+            extra["wpallas_fallback_roi120"] = True
+    else:
+        extra["inference_vox_per_s_roi120"] = None
+        extra["roi120_error"] = err120
+
+    r204 = None
     if os.environ.get("BENCH_FAST_ONLY", "0") != "1":
-        # the README example geometry — the like-for-like baseline compare.
-        # tile_batch 2 (not the footprint-scaled 4): the remote-compile
-        # helper has failed on the B=4 roi-120 program, and B=2 is the
-        # hardware-proven configuration from the quality-study evals.
-        try:
-            vox_readme = bench_inference(size, 2, roi=120, ov=15, bc=10)
-        except Exception as e:  # keep the headline robust to one bad leg
-            print(f"# roi120 bench failed ({e})", file=sys.stderr)
-            if pallas_wconv.ENABLED:  # isolate a kernel-only failure
-                try:
-                    os.environ["NEUROCLEAR_PALLAS_WCONV"] = "0"
-                    pallas_wconv._ENV = "0"
-                    pallas_wconv.ENABLED = False
-                    vox_readme = bench_inference(size, 2, roi=120, ov=15,
-                                                 bc=10)
-                    extra["wpallas_roi120"] = False
-                except Exception as e2:
-                    print(f"# roi120 retry failed ({e2})", file=sys.stderr)
+        r204, err204 = inference(tile_batch, 204)
+        if r204:
+            extra["inference_vox_per_s_roi204"] = round(r204["vox_per_s"], 1)
+            extra["wpallas"] = r204["wpallas"]
+            if r204.get("wpallas_fallback"):
+                extra["wpallas_fallback_roi204"] = True
+        else:
+            extra["roi204_error"] = err204
+
     # never alias the roi-204 number into the like-for-like slot: if the
     # roi-120 leg did not run, say so in the JSON and flag the headline
-    extra["inference_vox_per_s_roi120"] = (
-        round(vox_readme, 1) if vox_readme is not None else None)
-    if vox_readme is None:
-        extra["roi120_fallback"] = True
-        extra["headline_geometry"] = "roi204 (roi120 leg did not run)"
-        vox_readme = vox_fast
-    else:
+    if r120:
+        vox_headline = r120["vox_per_s"]
         extra["headline_geometry"] = "roi120 (like-for-like)"
+    elif r204:
+        vox_headline = r204["vox_per_s"]
+        extra["headline_geometry"] = "roi204 (roi120 leg did not run)"
+        extra["roi120_fallback"] = True
+    else:
+        vox_headline = None
+        extra["error"] = "all inference legs failed"
 
     if os.environ.get("BENCH_TRAIN", "1") != "0":
-        try:
-            it148 = bench_train(148, remat=True)
+        t148, errt = _run_leg(["--leg", "train", "--crop", "148", "--remat"],
+                              leg_timeout)
+        if t148:
+            it148 = t148["it_per_s"]
             extra["train_iters_per_sec_148"] = round(it148, 3)
             extra["train_vs_baseline"] = round(it148 / 0.16, 2)
             extra["train_11k_wallclock_hours"] = round(11000 / it148 / 3600, 2)
-            extra["train_iters_per_sec_108"] = round(
-                bench_train(108, remat=False), 3)
-        except Exception as e:  # keep the headline metric robust
-            print(f"# train bench failed: {e}", file=sys.stderr)
+        else:
+            extra["train148_error"] = errt
+        t108, errt = _run_leg(["--leg", "train", "--crop", "108"],
+                              leg_timeout)
+        if t108:
+            extra["train_iters_per_sec_108"] = round(t108["it_per_s"], 3)
+        else:
+            extra["train108_error"] = errt
 
     print(json.dumps({
         "metric": "dice_inference_voxels_per_sec",
-        "value": round(vox_readme, 1),
+        "value": round(vox_headline, 1) if vox_headline else None,
         "unit": "voxel/s",
-        "vs_baseline": round(vox_readme / 2.0e6, 2),
+        "vs_baseline": (round(vox_headline / 2.0e6, 2) if vox_headline
+                        else None),
         "extra": extra,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--leg", choices=["probe", "inference", "train"])
+    ap.add_argument("--size", type=int, default=900)
+    ap.add_argument("--tile-batch", type=int, default=1)
+    ap.add_argument("--roi", type=int, default=120)
+    ap.add_argument("--ov", type=int, default=15)
+    ap.add_argument("--bc", type=int, default=10)
+    ap.add_argument("--crop", type=int, default=148)
+    ap.add_argument("--remat", action="store_true")
+    a = ap.parse_args()
+    if a.leg is None:
+        try:
+            main()
+        except Exception as e:  # the record must ALWAYS hold a JSON line
+            print(json.dumps({
+                "metric": "dice_inference_voxels_per_sec", "value": None,
+                "unit": "voxel/s", "vs_baseline": None,
+                "extra": {"error": f"{type(e).__name__}: {e}"},
+            }))
+    elif a.leg == "probe":
+        print(json.dumps(leg_probe()))
+    elif a.leg == "inference":
+        print(json.dumps(leg_inference(a.size, a.tile_batch, a.roi, a.ov,
+                                       a.bc)))
+    else:
+        print(json.dumps(leg_train(a.crop, a.remat)))

@@ -37,8 +37,13 @@ SEG_TIMEOUT=${SEG_TIMEOUT:-1500}
 EXTRA_TRAIN_FLAGS=${EXTRA_TRAIN_FLAGS:-}
 mkdir -p "$LOG"
 
+# GEN_FLAGS must match the study's intended volume (e.g. "--preset s4",
+# "--mode artifact") — the queue passes them down so this fallback cannot
+# silently regenerate a default (sigma_z=6) volume for a preset study.
+GEN_FLAGS=${GEN_FLAGS:-}
 if [ ! -d "$DATA/input" ]; then
-  python scripts/generate_synthetic.py --out "$DATA" --size 700 --seed 0
+  python scripts/generate_synthetic.py --out "$DATA" --size 700 --seed 0 \
+    $GEN_FLAGS || { echo "data generation FAILED" >> "$LOG/driver.log"; exit 1; }
 fi
 
 # Durable resume: in environments where untracked files do not survive
@@ -46,8 +51,11 @@ fi
 # between driver sessions), the latest checkpoint set can be banked into
 # the git-TRACKED study_state/ dir (scripts/bank_study_state.sh).  Seed
 # the working checkpoint dir from the bank when starting cold.
+# The "working dir is empty" probe keys on the SAME _optim.npz marker as
+# last_ckpt: a partial save (net files present, optim missing — segment
+# killed mid-save) must not suppress seeding and restart from iteration 0.
 BANK=${BANK:-study_state/$NAME}
-if [ -d "$BANK" ] && [ -z "$(ls "$CKPT/$NAME"/iter_*_net_G_A.npz 2>/dev/null)" ]; then
+if [ -d "$BANK" ] && [ -z "$(ls "$CKPT/$NAME"/iter_*_optim.npz 2>/dev/null)" ]; then
   mkdir -p "$CKPT/$NAME"
   cp "$BANK"/iter_* "$CKPT/$NAME/" 2>/dev/null && \
     echo "seeded $CKPT/$NAME from bank $BANK" >> "$LOG/driver.log" || true
@@ -92,9 +100,12 @@ last_ckpt() {
 }
 
 eval_at() {
-  # returns nonzero when the eval produced no psnr line (caller keeps the
-  # retry slot open); first failure retries with the Pallas W-pair conv
-  # forced off, so a kernel-compile regression cannot eat an eval point.
+  # returns 1 when the eval produced no psnr line (caller keeps the retry
+  # slot open) and 2 when a bench STOP interrupted it (caller must NOT
+  # count that as a failure — two round-end interruptions would otherwise
+  # permanently burn the eval point); first real failure retries with the
+  # Pallas W-pair conv forced off, so a kernel-compile regression cannot
+  # eat an eval point.
   local it=$1
   shift
   # wconv=0 first: evals ride the known-good XLA packed conv (bench.py
@@ -103,7 +114,7 @@ eval_at() {
   # set_enabled(True) default actually engages — NEUROCLEAR_PALLAS_WCONV=""
   # (set-but-empty) pins ENABLED off, it does NOT mean "default".
   for wc in 0 unset; do
-    if [ -f .study/STOP ]; then return 1; fi
+    if [ -f .study/STOP ]; then return 2; fi
     if [ "$wc" = unset ]; then WENV=(env -u NEUROCLEAR_PALLAS_WCONV);
     else WENV=(env NEUROCLEAR_PALLAS_WCONV=$wc); fi
     run_child "${WENV[@]}" timeout 3000 python test_dice.py \
@@ -123,8 +134,11 @@ eval_at() {
 # Cooperative stop: the round-end bench (bench.py _stop_running_study)
 # touches .study/STOP and kills the current segment's child pgid; this
 # loop must then NOT start another segment.  A stale STOP from a previous
-# round is cleared here at launch.
-rm -f .study/STOP
+# round is cleared here at launch — but ONLY for direct invocations:
+# run_study_queue.sh clears once at queue launch and passes CLEAR_STOP=0,
+# so a FRESH bench STOP landing during the queue's data-generation window
+# is honoured instead of deleted.
+if [ "${CLEAR_STOP:-1}" = "1" ]; then rm -f .study/STOP; fi
 SEG=0
 while true; do
   if [ -f .study/STOP ]; then
@@ -150,8 +164,15 @@ while true; do
   for M in $EVALS; do
     if [ "$P2" -ge "$M" ] && [ ! -f "$LOG/eval_$M.done" ]; then
       echo "--- eval at $M" >> "$LOG/driver.log"
-      if eval_at $M --save_volume >> "$LOG/driver.log" 2>&1; then
+      eval_at $M --save_volume >> "$LOG/driver.log" 2>&1
+      RC=$?
+      if [ "$RC" = 0 ]; then
         touch "$LOG/eval_$M.done"
+      elif [ "$RC" = 2 ]; then
+        # bench STOP interrupted the eval: keep the eval point open (the
+        # next launch re-runs it) and stop starting new evals now
+        echo "eval_$M interrupted by STOP; will retry next launch" >> "$LOG/driver.log"
+        break
       else
         # at most 2 driver-loop retries, then give up loudly — a broken
         # eval must not starve the remaining training segments

@@ -35,9 +35,10 @@ bench_stop
 if [[ "$SKIP" != *" s4 "* ]] && ! study_done apollo148s4 11000 .study/log_s4; then
   if [ ! -d .study/sim700_s4/input ]; then
     python scripts/generate_synthetic.py --out .study/sim700_s4 --size 700 \
-      --seed 0 --preset s4
+      --seed 0 --preset s4 || exit 1
   fi
-  NAME=apollo148s4 RESULTS=.study/results_s4 AUTOBANK=1 \
+  NAME=apollo148s4 RESULTS=.study/results_s4 AUTOBANK=1 CLEAR_STOP=0 \
+    GEN_FLAGS="--preset s4" \
     scripts/run_quality_study.sh .study/sim700_s4 .study/ckpt_s4 .study/log_s4
 fi
 
@@ -46,9 +47,10 @@ if [[ "$SKIP" != *" ga8 "* ]] && ! study_done apollo148ga8 1375 .study/log_ga8; 
   # sim700 is the sigma_z=6 round-2 volume (generator defaults, seed 0) —
   # the gate baseline 20.34 dB in docs/QUALITY.md was measured on it.
   if [ ! -d .study/sim700/input ]; then
-    python scripts/generate_synthetic.py --out .study/sim700 --size 700 --seed 0
+    python scripts/generate_synthetic.py --out .study/sim700 --size 700 \
+      --seed 0 || exit 1
   fi
-  NAME=apollo148ga8 RESULTS=.study/results_ga8 AUTOBANK=1 \
+  NAME=apollo148ga8 RESULTS=.study/results_ga8 AUTOBANK=1 CLEAR_STOP=0 \
     EXTRA_TRAIN_FLAGS="--grad_accum 8" SEG_ITERS=63 SAVE_FREQ=7 \
     PRINT_FREQ=7 EVALS="375 750 1125" MAX_ITERS=1375 \
     scripts/run_quality_study.sh .study/sim700 .study/ckpt_ga8 .study/log_ga8
@@ -58,9 +60,10 @@ bench_stop
 if [[ "$SKIP" != *" athena "* ]] && ! study_done athena148 3000 .study/log_art; then
   if [ ! -d .study/sim700_art/input ]; then
     python scripts/generate_synthetic.py --out .study/sim700_art --size 700 \
-      --seed 0 --mode artifact
+      --seed 0 --mode artifact || exit 1
   fi
-  NAME=athena148 RESULTS=.study/results_art AUTOBANK=1 \
+  NAME=athena148 RESULTS=.study/results_art AUTOBANK=1 CLEAR_STOP=0 \
+    GEN_FLAGS="--mode artifact" \
     MODEL_FLAGS="--model axial_to_lateral_gan_athena --conversion_plane yz xy" \
     EVALS="1500 3000" MAX_ITERS=3000 \
     scripts/run_quality_study.sh .study/sim700_art .study/ckpt_art .study/log_art

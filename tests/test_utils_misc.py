@@ -213,6 +213,10 @@ def test_bench_stop_running_study(tmp_path, monkeypatch):
     run.mkdir(parents=True)
     (run / "iter_50_net_G_A.npz").write_bytes(b"x")
     (run / "iter_50_net_G_B.npz").write_bytes(b"x")
+    # the _optim.npz marker is what makes a checkpoint set COMPLETE (it is
+    # written last in the atomic save sequence); bank_study_state.sh keys
+    # its latest-iteration scan on it and refuses to bank partial sets
+    (run / "iter_50_optim.npz").write_bytes(b"x")
     # pgids that cannot exist (> kernel pid_max default); segment children
     # run under GNU timeout in their OWN process groups, recorded per log
     # dir as child.pgid — the reaper must collect those too
@@ -231,7 +235,7 @@ def test_bench_stop_running_study(tmp_path, monkeypatch):
     assert not (tmp_path / ".study" / "log_x" / "child.pgid").exists()
     bank = tmp_path / "study_state" / "runA"
     assert sorted(p.name for p in bank.iterdir()) == [
-        "iter_50_net_G_A.npz", "iter_50_net_G_B.npz"]
+        "iter_50_net_G_A.npz", "iter_50_net_G_B.npz", "iter_50_optim.npz"]
     # without a pgid file the hook is a no-op (does not touch study_state)
     shutil.rmtree(tmp_path / "study_state")
     mod._stop_running_study()
