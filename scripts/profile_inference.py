@@ -68,8 +68,8 @@ def main():
             z0 = i * step
             z1 = (i + 1) * step if i < grid.z_steps - 1 else vol_bc.shape[0]
             chunks.append(jax.device_put(np.ascontiguousarray(vol_bc[z0:z1])))
-        for c in chunks:
-            c.block_until_ready()
+        for c in chunks:  # 1-element fetch = real landing barrier (see below)
+            _ = np.asarray(c[-1:, -1:, -1:])
         dt = time.time() - t0
         print(f"# H2D trial{trial}: {nbytes/1e6:.0f} MB in {dt:.2f}s "
               f"-> {nbytes/dt/1e6:.0f} MB/s", flush=True)
@@ -110,8 +110,11 @@ def main():
                 step, bc, B, 1 / 65535.0, False, "bfloat16", "uint16",
                 size, size, take)
             emitted.append(emit)
+        # block_until_ready can return before the device is done on the
+        # axon tunnel (verify SKILL.md) — a 1-element fetch per slab is a
+        # real dependency barrier and only moves 2 bytes each
         for e in emitted:
-            e.block_until_ready()
+            _ = np.asarray(e[-1:])
         dt = time.time() - t0
         print(f"# compute trial{trial} ({'compile+' if trial == 0 else ''}"
               f"run): {dt:.2f}s", flush=True)

@@ -90,6 +90,91 @@ def test_train_onecube_and_test_dice_cli(tiny_data, tmp_path):
     assert "index_wholeimg.html" in pages and "<img" in pages["index_wholeimg.html"]
 
 
+def test_athena_cli_e2e(tiny_data, tmp_path):
+    """Athena variant train -> checkpoint -> test_dice via the real CLIs
+    (reference flow README.md:141): exercises --conversion_plane wiring,
+    the 6-discriminator loss naming, and athena's all-slices probes —
+    none of which the per-model step tests reach through argparse."""
+    ck = str(tmp_path / "ck")
+    r = _run([
+        "train_onecube.py", "--dataroot", str(tiny_data / "input"),
+        "--name", "ath", "--checkpoints_dir", ck,
+        "--dataset_mode", "singlevolume",
+        "--preprocess",
+        "random3Drotate_randomcrop_randomflip_addColorChannel_addBatchChannel",
+        "--model", "axial_to_lateral_gan_athena",
+        "--conversion_plane", "yz", "xy",
+        "--netG", "linearkernel", "--netG_B", "linearkernel", "--netD", "pixel",
+        "--ndf", "8", "--gan_mode", "lsgan", "--init_type", "normal",
+        "--norm", "instance", "--lambda_A", "5",
+        "--crop_size", "16", "16", "16", "--lambda_plane", "1", "1", "1",
+        "--save_by_iter", "--save_latest_freq", "2", "--lr_policy", "constant",
+        "--print_freq", "1", "--display_freq", "1000", "--no_html",
+        "--display_id", "0", "--max_iters", "2", "--seed", "0"])
+    assert r.returncode == 0, r.stderr[-1200:]
+    assert os.path.exists(os.path.join(ck, "ath", "iter_2_net_G_A.npz")), \
+        r.stdout[-500:]
+    # athena trains per-plane discriminators; all three plane losses must
+    # appear in the console line
+    for name in ("D_A_xy", "D_A_xz", "D_A_yz"):
+        assert name in r.stdout, r.stdout[-800:]
+
+    res = str(tmp_path / "res")
+    r = _run([
+        "test_dice.py", "--dataroot", str(tiny_data / "input"),
+        "--dataroot_gt", str(tiny_data / "gt"),
+        "--name", "ath", "--checkpoints_dir", ck, "--results_dir", res,
+        "--serial_batches", "--preprocess", "addColorChannel",
+        "--dataset_mode", "diceImage", "--netG", "linearkernel",
+        "--overlap", "4", "--dice_size", "24", "24", "24",
+        "--normalize_intensity", "--image_dimension", "3",
+        "--model_suffix", "_A", "--save_volume", "--border_cut", "2",
+        "--skip_real", "--load_iter", "2"])
+    assert r.returncode == 0, r.stderr[-1200:]
+    vols = [os.path.join(root, f) for root, _, fs in os.walk(res)
+            for f in fs if f.endswith(".tif")]
+    assert vols and tiffio.imread(vols[0]).shape == (48, 48, 48)
+
+
+def test_dryops_cli_e2e(tiny_data, tmp_path):
+    """Dryops variant end-to-end: its single-G/paired-D recipe and loss
+    names through the real argparse + registry path."""
+    ck = str(tmp_path / "ck")
+    r = _run([
+        "train_onecube.py", "--dataroot", str(tiny_data / "input"),
+        "--name", "dry", "--checkpoints_dir", ck,
+        "--dataset_mode", "singlevolume",
+        "--preprocess",
+        "random3Drotate_randomcrop_randomflip_addColorChannel_addBatchChannel",
+        "--model", "axial_to_lateral_gan_dryops",
+        "--netG", "linearkernel", "--netD", "pixel",
+        "--ndf", "8", "--gan_mode", "lsgan", "--init_type", "normal",
+        "--norm", "instance", "--lambda_A", "5",
+        "--crop_size", "16", "16", "16", "--lambda_plane", "1", "1", "1",
+        "--save_by_iter", "--save_latest_freq", "2", "--lr_policy", "constant",
+        "--print_freq", "1", "--display_freq", "1000", "--no_html",
+        "--display_id", "0", "--max_iters", "2", "--seed", "0"])
+    assert r.returncode == 0, r.stderr[-1200:]
+    assert os.path.exists(os.path.join(ck, "dry", "iter_2_net_G_A.npz")), \
+        r.stdout[-500:]
+
+    res = str(tmp_path / "res")
+    r = _run([
+        "test_dice.py", "--dataroot", str(tiny_data / "input"),
+        "--dataroot_gt", str(tiny_data / "gt"),
+        "--name", "dry", "--checkpoints_dir", ck, "--results_dir", res,
+        "--serial_batches", "--preprocess", "addColorChannel",
+        "--dataset_mode", "diceImage", "--netG", "linearkernel",
+        "--overlap", "4", "--dice_size", "24", "24", "24",
+        "--normalize_intensity", "--image_dimension", "3",
+        "--model_suffix", "_A", "--save_volume", "--border_cut", "2",
+        "--skip_real", "--load_iter", "2"])
+    assert r.returncode == 0, r.stderr[-1200:]
+    vols = [os.path.join(root, f) for root, _, fs in os.walk(res)
+            for f in fs if f.endswith(".tif")]
+    assert vols and tiffio.imread(vols[0]).shape == (48, 48, 48)
+
+
 @pytest.mark.skipif(os.environ.get("NEUROCLEAR_SLOW_TESTS", "0") != "1",
                     reason="production-net CPU e2e: ~15-30 min of 1-core "
                            "XLA compile; set NEUROCLEAR_SLOW_TESTS=1")
