@@ -37,8 +37,13 @@ if [[ "$SKIP" != *" s4 "* ]] && ! study_done apollo148s4 11000 .study/log_s4; th
     python scripts/generate_synthetic.py --out .study/sim700_s4 --size 700 \
       --seed 0 --preset s4 || exit 1
   fi
+  # Pacing (measured 2026-08-19): steady 1.48 s/it but ~9 min of first-sync
+  # overhead per segment -> 2000-iter segments; the first post-resume loss
+  # fetch blocks 5-9 min, so the in-process watchdog must sit above it
+  # (WATCHDOG=900; the 300 default killed five segments in a row at 1152).
   NAME=apollo148s4 RESULTS=.study/results_s4 AUTOBANK=1 CLEAR_STOP=0 \
     GEN_FLAGS="--preset s4" \
+    SEG_ITERS=2000 SEG_TIMEOUT=4500 WATCHDOG=900 \
     scripts/run_quality_study.sh .study/sim700_s4 .study/ckpt_s4 .study/log_s4
 fi
 
@@ -51,8 +56,9 @@ if [[ "$SKIP" != *" ga8 "* ]] && ! study_done apollo148ga8 1375 .study/log_ga8; 
       --seed 0 || exit 1
   fi
   NAME=apollo148ga8 RESULTS=.study/results_ga8 AUTOBANK=1 CLEAR_STOP=0 \
-    EXTRA_TRAIN_FLAGS="--grad_accum 8" SEG_ITERS=63 SAVE_FREQ=7 \
+    EXTRA_TRAIN_FLAGS="--grad_accum 8" SEG_ITERS=250 SAVE_FREQ=7 \
     PRINT_FREQ=7 EVALS="375 750 1125" MAX_ITERS=1375 \
+    SEG_TIMEOUT=4500 WATCHDOG=900 \
     scripts/run_quality_study.sh .study/sim700 .study/ckpt_ga8 .study/log_ga8
 fi
 
@@ -66,6 +72,7 @@ if [[ "$SKIP" != *" athena "* ]] && ! study_done athena148 3000 .study/log_art; 
     GEN_FLAGS="--mode artifact" \
     MODEL_FLAGS="--model axial_to_lateral_gan_athena --conversion_plane yz xy" \
     EVALS="1500 3000" MAX_ITERS=3000 \
+    SEG_ITERS=1000 SEG_TIMEOUT=4500 WATCHDOG=900 \
     scripts/run_quality_study.sh .study/sim700_art .study/ckpt_art .study/log_art
 fi
 
