@@ -56,7 +56,7 @@ if [[ "$SKIP" != *" ga8 "* ]] && ! study_done apollo148ga8 1375 .study/log_ga8; 
       --seed 0 || exit 1
   fi
   NAME=apollo148ga8 RESULTS=.study/results_ga8 AUTOBANK=1 CLEAR_STOP=0 \
-    EXTRA_TRAIN_FLAGS="--grad_accum 8" SEG_ITERS=250 SAVE_FREQ=7 \
+    EXTRA_TRAIN_FLAGS="--grad_accum 8" SEG_ITERS=250 SAVE_FREQ=25 \
     PRINT_FREQ=7 EVALS="375 750 1125" MAX_ITERS=1375 \
     SEG_TIMEOUT=4500 WATCHDOG=900 \
     scripts/run_quality_study.sh .study/sim700 .study/ckpt_ga8 .study/log_ga8
