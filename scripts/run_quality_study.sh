@@ -128,6 +128,18 @@ eval_at() {
     if grep -q "psnr" "$LOG/eval_$it.log"; then break; fi
     echo "eval_$it produced no psnr (wconv='$wc'); see eval_$it.log" >> "$LOG/driver.log"
   done
+  # isotropization decomposition (axial/lateral gradient ratio, affine-
+  # optimal PSNR, fg/bg RMS) on the saved volume — the study's primary
+  # quality evidence beyond the protocol PSNR line (docs/QUALITY.md);
+  # pure-numpy, runs while the chip is idle between segments
+  local VOL
+  VOL=$(find "$RESULTS" -name "output_volume_xy-view_iter-${it}.tif" \
+        2>/dev/null | head -1)
+  if [ -n "$VOL" ] && [ ! -f "$LOG/diag_$it.log" ]; then
+    timeout 900 python scripts/diagnose_quality.py \
+      --input "$DATA"/input/*.tif --output "$VOL" --gt "$DATA"/gt/*.tif \
+      > "$LOG/diag_$it.log" 2>&1 || true
+  fi
   grep "psnr" "$LOG/eval_$it.log"
 }
 
