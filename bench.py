@@ -46,8 +46,11 @@ import numpy as np
 def _setup_jax():
     import jax
 
+    # repo-local persistent compile cache (git-tracked): round-end bench
+    # legs must hit warm even after a VM recycle wipes ~/.cache
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
     # honour JAX_PLATFORMS even on hosts whose sitecustomize re-forces a TPU
     # plugin after env-var selection
     if os.environ.get("JAX_PLATFORMS"):
@@ -241,33 +244,37 @@ def main():
         print("# proceeding to the headline leg anyway (probe is advisory; "
               "its own timeout bounds a dead device)", file=sys.stderr)
 
-    def inference(tb, roi, wpallas_retry=True):
-        """One inference geometry, subprocess-isolated; on failure retry
-        once with the Pallas W-pair conv forced off (fresh process, so the
-        failed leg's HBM is truly gone — no allocator carry-over)."""
-        args = ["--leg", "inference", "--size", str(size), "--tile-batch",
-                str(tb), "--roi", str(roi), "--ov", "15", "--bc", "10"]
-        res, err = _run_leg(args, leg_timeout)
-        if res:
-            return res, None
-        print(f"# roi{roi} leg failed ({err})", file=sys.stderr)
-        if not wpallas_retry:
-            return None, err
-        print(f"# retrying roi{roi} without the Pallas W-conv",
-              file=sys.stderr)
-        res, err2 = _run_leg(args, leg_timeout,
-                             env={"NEUROCLEAR_PALLAS_WCONV": "0"})
-        if res:
-            res["wpallas_fallback"] = True
-            return res, None
-        return None, f"{err}; retry without wpallas: {err2}"
+    def inference(configs, roi):
+        """Try (tile_batch, wpallas) configs in order, each in a fresh
+        subprocess, so a failed attempt's HBM dies with its process (no
+        allocator carry-over). Returns the first success."""
+        errs = []
+        for tb, wp in configs:
+            args = ["--leg", "inference", "--size", str(size),
+                    "--tile-batch", str(tb), "--roi", str(roi),
+                    "--ov", "15", "--bc", "10"]
+            res, err = _run_leg(args, leg_timeout,
+                                env={"NEUROCLEAR_PALLAS_WCONV":
+                                     "1" if wp else "0"})
+            if res:
+                if errs:
+                    res["fallback"] = f"B{tb}/wp{int(wp)}"
+                return res, None
+            errs.append(f"B{tb}/wp{int(wp)}: {err}")
+            print(f"# roi{roi} B{tb}/wp{int(wp)} failed ({err})",
+                  file=sys.stderr)
+        return None, "; ".join(errs)
 
     # README geometry FIRST — it is the headline (like-for-like vs the
     # reference's 120/15/10 example flags); a later-leg wedge cannot eat it.
-    # tile_batch 2: the hardware-proven configuration from the
-    # quality-study evals (B=4 has failed remote-compile at this geometry).
-    r120, err120 = inference(int(os.environ.get("BENCH_TILE_BATCH_120", "2")),
-                             120, wpallas_retry=probe_ok)
+    # Config chain from the round-4 hardware sweep (scripts/sweep_roi120.sh,
+    # docs/PERFORMANCE.md): B=4+wpallas 5.8 Mvox/s > B=2+wpallas 5.0 >
+    # B=2 XLA-only 4.2; B=4 WITHOUT the Pallas W-conv fails to fit, so the
+    # fallback chain drops tile_batch before dropping the kernel.
+    tb120 = int(os.environ.get("BENCH_TILE_BATCH_120", "4"))
+    chain120 = [(tb120, True), (2, True), (2, False)] if probe_ok \
+        else [(tb120, True)]
+    r120, err120 = inference(chain120, 120)
     if not r120 and not probe_ok:
         # dead device confirmed twice over — don't burn hours of leg
         # timeouts; emit the record and stop
@@ -281,20 +288,21 @@ def main():
     if r120:
         extra["inference_vox_per_s_roi120"] = round(r120["vox_per_s"], 1)
         extra["wpallas_roi120"] = r120["wpallas"]
-        if r120.get("wpallas_fallback"):
-            extra["wpallas_fallback_roi120"] = True
+        if r120.get("fallback"):
+            extra["fallback_roi120"] = r120["fallback"]
     else:
         extra["inference_vox_per_s_roi120"] = None
         extra["roi120_error"] = err120
 
     r204 = None
     if os.environ.get("BENCH_FAST_ONLY", "0") != "1":
-        r204, err204 = inference(tile_batch, 204)
+        r204, err204 = inference([(tile_batch, True), (tile_batch, False)],
+                                 204)
         if r204:
             extra["inference_vox_per_s_roi204"] = round(r204["vox_per_s"], 1)
             extra["wpallas"] = r204["wpallas"]
-            if r204.get("wpallas_fallback"):
-                extra["wpallas_fallback_roi204"] = True
+            if r204.get("fallback"):
+                extra["fallback_roi204"] = r204["fallback"]
         else:
             extra["roi204_error"] = err204
 
