@@ -240,3 +240,73 @@ def test_bench_stop_running_study(tmp_path, monkeypatch):
     shutil.rmtree(tmp_path / "study_state")
     mod._stop_running_study()
     assert not (tmp_path / "study_state").exists()
+
+
+def _load_benchmod():
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "benchmod2", os.path.join(repo, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_roi120_fallback_chain(monkeypatch, capsys):
+    """The headline roi120 leg walks its hardware-proven config chain
+    (B4+wpallas -> B2+wpallas -> B2 XLA), each attempt a separate
+    subprocess call, and records which fallback produced the number."""
+    import json as _json
+
+    mod = _load_benchmod()
+    monkeypatch.setattr(mod, "_stop_running_study", lambda: None)
+    monkeypatch.setenv("BENCH_TRAIN", "0")
+    monkeypatch.setenv("BENCH_FAST_ONLY", "1")
+    calls = []
+
+    def fake_run_leg(args, timeout_s, env=None):
+        if args[1] == "probe":
+            return {"ok": True, "device": "fake"}, None
+        calls.append((args[args.index("--tile-batch") + 1],
+                      (env or {}).get("NEUROCLEAR_PALLAS_WCONV")))
+        if len(calls) < 3:
+            return None, "RESOURCE_EXHAUSTED"
+        return {"vox_per_s": 4.2e6, "steady_s": 1.0, "first_s": 2.0,
+                "wpallas": False}, None
+
+    monkeypatch.setattr(mod, "_run_leg", fake_run_leg)
+    mod.main()
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    rec = _json.loads(out[-1])
+    assert calls == [("4", "1"), ("2", "1"), ("2", "0")]
+    assert rec["value"] == 4.2e6
+    assert rec["extra"]["fallback_roi120"] == "B2/wp0"
+    assert rec["vs_baseline"] == 2.1
+
+
+def test_bench_always_emits_json_on_total_failure(monkeypatch, capsys):
+    """Every inference config failing must still yield ONE parseable JSON
+    record (value null + error) — the round-3 record died rc=1 with no
+    line."""
+    import json as _json
+
+    mod = _load_benchmod()
+    monkeypatch.setattr(mod, "_stop_running_study", lambda: None)
+    monkeypatch.setenv("BENCH_TRAIN", "0")
+    monkeypatch.setenv("BENCH_FAST_ONLY", "0")
+
+    def fake_run_leg(args, timeout_s, env=None):
+        if args[1] == "probe":
+            return {"ok": True, "device": "fake"}, None
+        return None, "boom"
+
+    monkeypatch.setattr(mod, "_run_leg", fake_run_leg)
+    mod.main()
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    rec = _json.loads(out[-1])
+    assert rec["value"] is None
+    assert rec["extra"]["error"] == "all inference legs failed"
+    assert "roi120_error" in rec["extra"]
