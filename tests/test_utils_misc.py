@@ -131,6 +131,47 @@ def test_get_data_offline(tmp_path):
         g.get(str(tmp_path), dataset="http://example.com/x.tar.gz")
 
 
+def test_get_data_url_download_and_void(tmp_path):
+    """Full reference download path (util/get_data.py:57-111) exercised
+    offline through a file:// URL: fetch -> temp archive -> unpack ->
+    temp removed; a second call voids the download with a warning."""
+    import tarfile
+    import warnings
+
+    from neuroclear_tpu.utils.get_data import GetData
+
+    src = tmp_path / "arch"
+    src.mkdir()
+    (src / "f.txt").write_text("hi")
+    tar = tmp_path / "maps.tar.gz"
+    with tarfile.open(tar, "w:gz") as tf:
+        tf.add(src, arcname="maps")
+
+    g = GetData("pix2pix", verbose=False)
+    dest = tmp_path / "out"
+    got = g.get(str(dest), dataset=tar.as_uri())
+    assert got == os.path.abspath(str(dest / "maps"))
+    assert (dest / "maps" / "f.txt").read_text() == "hi"
+    assert not (dest / "maps.tar.gz").exists()  # temp archive removed
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g.get(str(dest), dataset=tar.as_uri())
+    assert any("Voiding Download" in str(x.message) for x in w)
+
+
+def test_get_data_options_parser():
+    """Index scraping (util/get_data.py:40-55) without BeautifulSoup:
+    only .zip / tar.gz anchor texts are offered."""
+    from neuroclear_tpu.utils.get_data import GetData
+
+    html = ('<html><body><a href="../">Parent</a>'
+            '<a href="m.zip">maps.zip</a>'
+            '<a href="h.tar.gz">horse2zebra.tar.gz</a>'
+            '<a href="readme.txt">readme.txt</a></body></html>')
+    assert GetData._get_options(html) == ["maps.zip", "horse2zebra.tar.gz"]
+
+
 def test_tiffio_paged_read(tmp_path):
     """probe() reads shape/dtype without pixel IO; imread_pages returns the
     exact page range (native codec; powers decode/upload overlap)."""
