@@ -87,7 +87,8 @@ class AxialToLateralGANApolloModel(BaseModel):
                 min_projection_depth=opt.min_projection_depth,
                 beta1=opt.beta1, precision=getattr(opt, "precision", "float32"),
                 remat=getattr(opt, "remat", False),
-                grad_accum=getattr(opt, "grad_accum", 1))
+                grad_accum=getattr(opt, "grad_accum", 1),
+                accum_host=not getattr(opt, "fused_accum", False))
             self.base_lr = opt.lr
             self.optim = gc.make_adam(opt.beta1)
             self.opt_state = {
@@ -145,24 +146,35 @@ def _fwd_pair(nets, pa, pb, real):
 
 
 def make_apollo_step(nets, optim, cfg):
-    """Build the fused train step (jitted, params/opt-state donated)."""
+    """Build the fused train step (jitted, params/opt-state donated).
+
+    grad_accum > 1 has two executions of the SAME math (mean-of-per-crop
+    grads at the pre-update params, one Adam update — the N-chip DP step):
+      * cfg.accum_host (default): a host loop of N jitted microbatch
+        dispatches accumulating into donated on-device grad trees, then one
+        jitted apply. Peak HBM per dispatch = the proven accum-1 fwd+bwd
+        footprint + two grad trees (~150 MB) — the fused scan's
+        8x148^3-batch-plus-carry program wedged the 16 GB v5e backend
+        (docs/QUALITY.md round-4 session 2).
+      * fused scan (--fused_accum): everything in ONE program; needs the
+        full batch resident and is the mesh-DP-shaped certification path.
+    """
 
     d_keys = ["D_A_lateral", "D_A_axial", "D_B_lateral", "D_B_axial"]
     lam_t, lam_s, _ = cfg.lambda_norm
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(g_params, d_params, opt_state, rng, real, lr):
+    def build_loss_fns(d_params, rng):
+        """Per-step probe keys/depth + the two loss closures; shared by the
+        fused step and the host-microbatch step so the math cannot drift."""
         k_depth, k_g, k_d = jax.random.split(rng, 3)
         depth = gc.sample_projection_depth(k_depth, cfg)
         kg = jax.random.split(k_g, 6)
         kd = jax.random.split(k_d, 12)
-        # mixed precision: f32 master params/Adam, compute in cfg.precision
-        real = real.astype(cfg.compute_dtype)
 
         d_apply = {k: (lambda k_: lambda x: nets[k_].apply(
             jax.lax.stop_gradient(d_params[k_]), x))(k) for k in d_keys}
 
-        # ---- G step (backward_G parity, apollo_model.py:255-283) ----------
+        # ---- G loss (backward_G parity, apollo_model.py:255-283) ----------
         ga_apply = gc.maybe_remat(nets["G_A"].apply, cfg, nets["G_A"])
         gb_apply = gc.maybe_remat(nets["G_B"].apply, cfg, nets["G_B"])
 
@@ -193,7 +205,7 @@ def make_apollo_step(nets, optim, cfg):
                    "cycle": cycle, "fake": fake, "rec": rec}
             return total, aux
 
-        # ---- D step (backward_D_* parity, apollo_model.py:198-253) --------
+        # ---- D loss (backward_D_* parity, apollo_model.py:198-253) --------
         # uses fake/rec from *before* the G update, like the reference
         # (forward() precedes optimizer_G.step(); D re-probes detached copies).
         def d_loss_fn(dp, real, fake, rec):
@@ -224,6 +236,14 @@ def make_apollo_step(nets, optim, cfg):
                    "D_B_lateral": d_b_lat,
                    "D_B_axial": (d_b_ax1 + d_b_ax2) * 0.5}
             return total, aux
+
+        return g_loss_fn, d_loss_fn
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(g_params, d_params, opt_state, rng, real, lr):
+        g_loss_fn, d_loss_fn = build_loss_fns(d_params, rng)
+        # mixed precision: f32 master params/Adam, compute in cfg.precision
+        real = real.astype(cfg.compute_dtype)
 
         if cfg.grad_accum <= 1:
             (_, g_aux), g_grads = jax.value_and_grad(
@@ -260,4 +280,51 @@ def make_apollo_step(nets, optim, cfg):
         losses = jax.tree.map(lambda x: x.mean(0), auxs)
         return g_params, d_params, {"G": og, "D": od}, losses, fake, rec
 
-    return step
+    if cfg.grad_accum <= 1 or not cfg.accum_host:
+        return step
+
+    # ---- host-microbatch accumulation (cfg.accum_host docstring) ----------
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def micro_step(g_params, d_params, g_acc, d_acc, rng, real_i):
+        g_loss_fn, d_loss_fn = build_loss_fns(d_params, rng)
+        real_i = real_i.astype(cfg.compute_dtype)
+        (_, g_aux), gi = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_params, real_i)
+        fake = jax.lax.stop_gradient(g_aux.pop("fake"))
+        rec = jax.lax.stop_gradient(g_aux.pop("rec"))
+        (_, d_aux), di = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_params, real_i, fake, rec)
+        g_acc = jax.tree.map(jnp.add, g_acc, gi)
+        d_acc = jax.tree.map(jnp.add, d_acc, di)
+        return g_acc, d_acc, {**g_aux, **d_aux}, fake, rec
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def apply_step(g_params, d_params, opt_state, g_acc, d_acc, lr):
+        n = cfg.grad_accum
+        g_updates, og = optim.update(
+            jax.tree.map(lambda g: g / n, g_acc), opt_state["G"])
+        g_params = gc.apply_updates(g_params, g_updates, lr)
+        d_updates, od = optim.update(
+            jax.tree.map(lambda g: g / n, d_acc), opt_state["D"])
+        d_params = gc.apply_updates(d_params, d_updates, lr)
+        return g_params, d_params, {"G": og, "D": od}
+
+    def host_step(g_params, d_params, opt_state, rng, real, lr):
+        # every microbatch reuses the step's probe keys/depth and the
+        # pre-update params — identical math (and grad summation order) to
+        # the fused scan; only the program boundaries differ
+        g_acc = jax.tree.map(jnp.zeros_like, g_params)
+        d_acc = jax.tree.map(jnp.zeros_like, d_params)
+        auxs = []
+        fake = rec = None
+        for i in range(cfg.grad_accum):
+            g_acc, d_acc, aux, fake, rec = micro_step(
+                g_params, d_params, g_acc, d_acc, rng, real[i:i + 1])
+            auxs.append(aux)
+        g_params, d_params, opt_state = apply_step(
+            g_params, d_params, opt_state, g_acc, d_acc, lr)
+        losses = jax.tree.map(lambda *xs: jnp.stack(xs).mean(), *auxs)
+        return g_params, d_params, opt_state, losses, fake, rec
+
+    return host_step

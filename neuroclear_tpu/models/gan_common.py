@@ -67,11 +67,17 @@ class GanStepConfig:
     precision: str = "float32"  # compute dtype; params/Adam stay f32
     remat: bool = False  # jax.checkpoint the generators (fit big crops)
     # single-chip execution of the batch-N data-parallel recipe: N crops per
-    # optimizer step, gradients accumulated sequentially (lax.scan) with the
-    # per-step probe keys shared across microbatches — exactly the math of
-    # the mesh DP step (replicated keys, mean-of-per-sample grads), so a
-    # 1-chip run validates the N-chip recipe's quality trajectory.
+    # optimizer step, gradients accumulated sequentially with the per-step
+    # probe keys shared across microbatches — exactly the math of the mesh
+    # DP step (replicated keys, mean-of-per-sample grads), so a 1-chip run
+    # validates the N-chip recipe's quality trajectory.
     grad_accum: int = 1
+    # True (production default): accumulate via N separate jitted microbatch
+    # dispatches into donated on-device grad trees — per-dispatch HBM stays
+    # at the proven accum-1 footprint.  False: one fused lax.scan program
+    # (the mesh-DP-shaped form; needs the whole batch resident — wedged the
+    # 16 GB v5e at 8x148^3, docs/QUALITY.md round-4 session 2).
+    accum_host: bool = True
 
     @property
     def lambda_norm(self):

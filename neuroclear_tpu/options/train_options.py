@@ -70,6 +70,10 @@ class TrainOptions(BaseOptions):
                                  "step (sequential on one chip; exact math of the "
                                  "N-device data-parallel step, so a 1-chip run "
                                  "certifies the N-chip batch recipe)")
+        parser.add_argument("--fused_accum", action="store_true",
+                            help="run --grad_accum as ONE fused lax.scan program "
+                                 "instead of the default per-microbatch dispatch "
+                                 "loop (needs the whole batch resident in HBM)")
         parser.add_argument("--watchdog_secs", type=int, default=0,
                             help="exit with code 42 if no training progress for this "
                                  "many seconds (a hung device client can otherwise "

@@ -197,6 +197,10 @@ while true; do
       fi
     fi
   done
+  # keep the live best-checkpoint line current as evals land mid-study
+  if ls "$LOG"/eval_*.log >/dev/null 2>&1; then
+    python scripts/select_checkpoint.py "$LOG" --write >/dev/null 2>&1 || true
+  fi
 done
 F=$(last_ckpt)
 if [ -f .study/STOP ]; then exit 0; fi
@@ -206,4 +210,9 @@ if [ ! -f "$LOG/eval_final.done" ]; then
     touch "$LOG/eval_final.done"
   fi
 fi
+# operational checkpoint selection: rank every eval by protocol output-PSNR
+# and record the argmax (-> $LOG/selected.txt, consumed via
+# `test_dice.py --load_iter N`); the reference leaves this to manual
+# TensorBoard inspection (README.md:135-137)
+python scripts/select_checkpoint.py "$LOG" --write >> "$LOG/driver.log" 2>&1 || true
 echo "ALL DONE $(date +%H:%M:%S)" >> "$LOG/driver.log"

@@ -42,9 +42,13 @@ def _cfg(**kw):
     return gc.GanStepConfig(**base)
 
 
-def test_grad_accum_matches_batched_gradients():
+@pytest.mark.parametrize("accum_host", [False, True],
+                         ids=["fused-scan", "host-microbatch"])
+def test_grad_accum_matches_batched_gradients(accum_host):
     """identity optimizer + lr 1.0 => param delta == -averaged gradient, so
-    comparing updated params compares raw gradients (no Adam sign noise)."""
+    comparing updated params compares raw gradients (no Adam sign noise).
+    Covers BOTH accumulation executions: the fused lax.scan program and the
+    production host-microbatch dispatch loop (the 16 GB-v5e-safe form)."""
     import optax
 
     from neuroclear_tpu.models.axial_to_lateral_gan_apollo_model import (
@@ -58,7 +62,8 @@ def test_grad_accum_matches_batched_gradients():
     ostate = {"G": optim.init(g_params), "D": optim.init(d_params)}
 
     step_batched = make_apollo_step(m.nets, optim, _cfg(grad_accum=1))
-    step_accum = make_apollo_step(m.nets, optim, _cfg(grad_accum=4))
+    step_accum = make_apollo_step(
+        m.nets, optim, _cfg(grad_accum=4, accum_host=accum_host))
 
     real = jnp.asarray(np.random.default_rng(0).random(
         (4, 12, 12, 12, 1)).astype(np.float32))

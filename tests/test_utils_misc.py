@@ -327,6 +327,51 @@ def test_bench_roi120_fallback_chain(monkeypatch, capsys):
     assert rec["vs_baseline"] == 2.1
 
 
+def test_bench_total_budget_skips_legs(monkeypatch, capsys):
+    """With the global budget already exhausted, no leg subprocess is ever
+    spawned and the record still lands as one parseable JSON line (VERDICT
+    r4: rc=124 mid-leg lost the whole record)."""
+    import json as _json
+
+    monkeypatch.setenv("BENCH_TOTAL_BUDGET", "0")
+    monkeypatch.setenv("BENCH_PROBE_RETRIES", "1")
+    monkeypatch.setenv("BENCH_TRAIN", "0")
+    mod = _load_benchmod()
+    monkeypatch.setattr(mod, "_stop_running_study", lambda: None)
+    spawned = []
+    monkeypatch.setattr(mod.subprocess, "Popen",
+                        lambda *a, **k: spawned.append(a) or (_ for _ in ()).throw(
+                            AssertionError("leg spawned despite zero budget")))
+    mod.main()
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    rec = _json.loads(out[-1])
+    assert spawned == []
+    assert rec["value"] is None
+    assert "skipped (total budget exhausted)" in rec["extra"]["error"]
+
+
+def test_bench_sigterm_emits_partial_record(monkeypatch, capsys):
+    """The SIGTERM handler prints whatever legs already landed (the driver's
+    `timeout` sends SIGTERM; r4's kill lost a measured roi120 number)."""
+    import json as _json
+
+    mod = _load_benchmod()
+    exits = []
+    monkeypatch.setattr(mod.os, "_exit", lambda code: exits.append(code))
+    mod._RECORD["value"] = 4.4e6
+    mod._RECORD["vs_baseline"] = 2.2
+    mod._RECORD["extra"]["inference_vox_per_s_roi120"] = 4.4e6
+    mod._on_sigterm(15, None)
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 4.4e6
+    assert rec["extra"]["partial"].startswith("SIGTERM")
+    assert exits == [0]
+    # the end-of-main emit must not double-print after the handler fired
+    mod._emit()
+    assert capsys.readouterr().out == ""
+
+
 def test_bench_always_emits_json_on_total_failure(monkeypatch, capsys):
     """Every inference config failing must still yield ONE parseable JSON
     record (value null + error) — the round-3 record died rc=1 with no
@@ -351,3 +396,45 @@ def test_bench_always_emits_json_on_total_failure(monkeypatch, capsys):
     assert rec["value"] is None
     assert rec["extra"]["error"] == "all inference legs failed"
     assert "roi120_error" in rec["extra"]
+
+
+def test_select_checkpoint_ranks_and_writes(tmp_path):
+    """scripts/select_checkpoint.py parses the protocol metric blocks from
+    eval logs, picks the argmax output-PSNR checkpoint (earlier wins ties —
+    post-crossover divergence), and writes the machine-readable line."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "selmod", os.path.join(repo, "scripts", "select_checkpoint.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def write_log(it, in_psnr, out_psnr, ssim=None):
+        body = ("Network Input vs. Groundtruth\n(psnr: %.4f) \n"
+                "---\nNetwork Output vs. Groundtruth\n(psnr: %.4f) \n"
+                % (in_psnr, out_psnr))
+        if ssim is not None:
+            body += "(ssim: %.4f) \n" % ssim
+        (tmp_path / f"eval_{it}.log").write_text(body)
+
+    write_log(3000, 20.34, 20.10)
+    write_log(6000, 20.34, 20.64, ssim=0.61)
+    write_log(9000, 20.34, 20.64)   # tie with 6000 -> earlier wins
+    write_log(11000, 20.34, 20.01)
+    (tmp_path / "eval_999.log").write_text("no metrics here")  # skipped
+
+    rows = mod.scan(str(tmp_path))
+    assert [r[0] for r in rows] == [3000, 6000, 9000, 11000]
+    it, m = mod.select(rows)
+    assert it == 6000 and m["output_psnr"] == pytest.approx(20.64)
+    assert m["output_ssim"] == pytest.approx(0.61)
+
+    assert mod.main([str(tmp_path), "--write"]) == 0
+    sel = (tmp_path / "selected.txt").read_text()
+    assert "iter 6000" in sel and "--load_iter 6000" in sel
+
+    # empty dir -> rc 1, no file
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert mod.main([str(empty)]) == 1
