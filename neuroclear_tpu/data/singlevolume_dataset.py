@@ -109,6 +109,46 @@ class SingleVolumeDataset(BaseDataset):
             self._batch_sample, self._batch_sample_n = _sample, n
         return self._batch_sample(rng, self.device_volume())[..., None]
 
+    def per_crop_sampler(self, rng, n: int):
+        """f(i) -> crop i of the batch-n recipe, one crop on device at a
+        time (same per-crop PRNG key split as sample_batch / the mesh DP
+        sampler, run through the SINGLE-crop program like the DP sampler).
+
+        Feeds the host-microbatch --grad_accum path: the (n, cz, cy, cx, 1)
+        batch is never materialised in HBM — at the 8x148^3/700^3 production
+        point that batch (103 MB) plus the accumulators sat on top of a step
+        that fits the 16 GB v5e with only tens of MB to spare."""
+        import jax
+
+        keys = jax.random.split(rng, n)
+        return lambda i: self.sample(keys[i])
+
+    def per_crop_host_window_sampler(self, rng, n: int):
+        """per_crop_sampler semantics WITHOUT the HBM-resident volume: the
+        PRNG/geometry plan runs on the host CPU backend (same threefry
+        bits) and only each crop's ~(cz, diag, diag) gather window is
+        uploaded (ops/augment.host_window_sample).  This is what lets the
+        accum-8 step fit the 16 GB v5e: the 686 MB resident volume was the
+        final RESOURCE_EXHAUSTED margin (docs/QUALITY.md round 5)."""
+        import jax
+
+        from ..ops.augment import host_window_plan, host_window_sample
+
+        keys = jax.random.split(rng, n)
+        cfg = self.device_sampling_config()
+        kw = dict(do_rotate=cfg["do_rotate"], do_rot90=cfg["do_rot90"],
+                  do_flip=cfg["do_flip"])
+        # ONE tiny device program + ONE host pull plans all n crops
+        draws = host_window_plan(keys, self.A_img_np.shape,
+                                 cfg["crop_size"], **kw)
+
+        def f(i):
+            out = host_window_sample(draws[i], self.A_img_np,
+                                     cfg["crop_size"], cfg["inv_scale"], **kw)
+            return out[None, ..., None]
+
+        return f
+
     # --- host parity path -----------------------------------------------------
 
     def __getitem__(self, index):

@@ -97,14 +97,24 @@ class AxialToLateralGANApolloModel(BaseModel):
                                       for k in self.model_names[2:]}),
             }
             self._step = make_apollo_step(self.nets, self.optim, self.cfg)
+            # host-microbatch accumulation can consume crops one at a time
+            # (data side: SingleVolumeDataset.per_crop_sampler) so the
+            # batch never needs to be HBM-resident
+            self.supports_input_sampler = (self.cfg.grad_accum > 1
+                                           and self.cfg.accum_host)
         self._fwd = jax.jit(lambda pa, pb, x: _fwd_pair(self.nets, pa, pb, x))
+        self._real_sampler = None
 
     # ------------------------------------------------------------------ API
 
     def set_input(self, input):
         AtoB = self.opt.direction == "AtoB"
-        real = input["A" if AtoB else "B"]
         self.image_paths = input.get("A_paths" if AtoB else "B_paths", "")
+        self._real_sampler = input.get("A_sampler")
+        if self._real_sampler is not None:
+            self.real = None  # crops arrive per-microbatch inside the step
+            return
+        real = input["A" if AtoB else "B"]
         self.real = _to_ndhwc(real)
         self._visuals["real"] = self.real
 
@@ -118,8 +128,22 @@ class AxialToLateralGANApolloModel(BaseModel):
         lr = jnp.float32(self.base_lr * self.lr_scale)
         g_params = {k: self.params[k] for k in ("G_A", "G_B")}
         d_params = {k: self.params[k] for k in self.model_names[2:]}
+        real = self.real
+        last = {}
+        if self._real_sampler is not None:
+            if not getattr(self, "supports_input_sampler", False):
+                raise RuntimeError("A_sampler input needs host-microbatch "
+                                   "--grad_accum (accum_host)")
+
+            def real(i):  # record the last crop for the visuals contract
+                c = self._real_sampler(i)
+                last["c"] = c
+                return c
         g_params, d_params, self.opt_state, losses, fake, rec = self._step(
-            g_params, d_params, self.opt_state, self.next_rng(), self.real, lr)
+            g_params, d_params, self.opt_state, self.next_rng(), real, lr)
+        if last:
+            self.real = last["c"]
+            self._visuals["real"] = self.real
         self.params.update(g_params)
         self.params.update(d_params)
         self._losses = losses
@@ -313,18 +337,23 @@ def make_apollo_step(nets, optim, cfg):
     def host_step(g_params, d_params, opt_state, rng, real, lr):
         # every microbatch reuses the step's probe keys/depth and the
         # pre-update params — identical math (and grad summation order) to
-        # the fused scan; only the program boundaries differ
+        # the fused scan; only the program boundaries differ.  `real` is
+        # either the (N, ...) batch or a callable i -> crop (the
+        # per_crop_sampler path: the batch never becomes HBM-resident)
+        crop = real if callable(real) else (lambda i: real[i:i + 1])
         g_acc = jax.tree.map(jnp.zeros_like, g_params)
         d_acc = jax.tree.map(jnp.zeros_like, d_params)
         auxs = []
         fake = rec = None
         for i in range(cfg.grad_accum):
             g_acc, d_acc, aux, fake, rec = micro_step(
-                g_params, d_params, g_acc, d_acc, rng, real[i:i + 1])
+                g_params, d_params, g_acc, d_acc, rng, crop(i))
             auxs.append(aux)
         g_params, d_params, opt_state = apply_step(
             g_params, d_params, opt_state, g_acc, d_acc, lr)
         losses = jax.tree.map(lambda *xs: jnp.stack(xs).mean(), *auxs)
         return g_params, d_params, opt_state, losses, fake, rec
 
+    host_step._micro = micro_step  # exposed for AOT memory diagnostics
+    host_step._apply = apply_step
     return host_step

@@ -80,3 +80,39 @@ def test_center_crop():
     vol = np.zeros((10, 10, 10))
     out = center_crop(vol, 80)  # keep 80% -> cut 10% per side
     assert out.shape == (8, 8, 8)
+
+
+def test_host_window_sampler_matches_device_chain():
+    """ops/augment.host_window_sample (host PRNG plan + host-sliced gather
+    window; no HBM-resident volume) must reproduce the on-device
+    fused_augment chain given the same key.  Agreement is exact except at
+    canvas-BORDER voxels, where the clip scheme is discontinuous in the
+    source coordinate and 1-ULP host(f64-ish)/device(f32) geometry
+    differences may pick the adjacent border pixel — inherent border
+    ambiguity, bounded here to <0.5% of voxels."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuroclear_tpu.ops.augment import fused_augment, host_window_sample
+
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 65535, (64, 96, 80), dtype=np.uint16)
+    crop = (24, 28, 26)
+    inv = 1.0 / 65535.0
+    volj = jnp.asarray(vol)
+
+    for s in range(8):
+        key = jax.random.PRNGKey(s)
+        a = np.asarray(fused_augment(key, volj, crop, inv))
+        b = np.asarray(host_window_sample(np.asarray(key), vol, crop, inv))
+        d = np.abs(a - b)
+        assert (d > 1e-4).mean() < 0.005, (s, d.max(), (d > 1e-4).mean())
+        assert np.median(d) < 2e-5
+
+    # rotation-free path has no border ambiguity: exact to f32 rounding
+    key = jax.random.PRNGKey(99)
+    a = np.asarray(fused_augment(key, volj, crop, inv,
+                                 do_rotate=False, do_flip=False))
+    b = np.asarray(host_window_sample(np.asarray(key), vol, crop, inv,
+                                      do_rotate=False, do_flip=False))
+    assert np.abs(a - b).max() < 2e-5

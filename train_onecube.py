@@ -127,8 +127,21 @@ if __name__ == "__main__":
             data_i = {"A": dp_sampler(model.next_rng()),
                       "A_paths": dataset.A_path}
         elif accum > 1:
-            data_i = {"A": dataset.sample_batch(model.next_rng(), accum),
-                      "A_paths": dataset.A_path}
+            if getattr(model, "supports_input_sampler", False):
+                # host-microbatch accumulation: hand the step a per-crop
+                # sampler so the (N, crop^3) batch is never HBM-resident.
+                # Default sources gather windows from HOST memory (frees
+                # the 686 MB resident volume — the accum-8 HBM margin);
+                # NEUROCLEAR_ACCUM_DEVICE_VOL=1 keeps the volume in HBM.
+                if os.environ.get("NEUROCLEAR_ACCUM_DEVICE_VOL") == "1":
+                    sampler = dataset.per_crop_sampler(model.next_rng(), accum)
+                else:
+                    sampler = dataset.per_crop_host_window_sampler(
+                        model.next_rng(), accum)
+                data_i = {"A_sampler": sampler, "A_paths": dataset.A_path}
+            else:
+                data_i = {"A": dataset.sample_batch(model.next_rng(), accum),
+                          "A_paths": dataset.A_path}
         elif device_sampling:
             data_i = {"A": dataset.sample(model.next_rng()),
                       "A_paths": dataset.A_path}
