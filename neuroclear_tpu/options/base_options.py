@@ -103,7 +103,9 @@ class BaseOptions:
                             help="checkpoint suffix to load ('latest' or an epoch number)")
         parser.add_argument("--load_iter", type=int, default=0,
                             help="when > 0, load the iter_<N> checkpoint instead of "
-                                 "the one named by --epoch")
+                                 "the one named by --epoch; study runs record the "
+                                 "best N (argmax protocol PSNR) in their log dir's "
+                                 "selected.txt (scripts/select_checkpoint.py)")
         parser.add_argument("--verbose", action="store_true",
                             help="print network architectures and extra diagnostics")
         parser.add_argument("--suffix", default="", type=str,
