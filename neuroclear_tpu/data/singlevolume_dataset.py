@@ -149,6 +149,22 @@ class SingleVolumeDataset(BaseDataset):
 
         return f
 
+    def sample_host_window(self, rng):
+        """sample() semantics without the HBM-resident volume: the crop's
+        PRNG draws are planned from `rng` (same key, same threefry bits as
+        sample) and only the gather window is uploaded.  For HBM-critical
+        accum-1 runs (NEUROCLEAR_HOST_WINDOW=1 in train_onecube) — e.g.
+        athena at 144^3, whose step fits the v5e only without the volume."""
+        from ..ops.augment import host_window_sample
+
+        cfg = self.device_sampling_config()
+        out = host_window_sample(np.asarray(rng), self.A_img_np,
+                                 cfg["crop_size"], cfg["inv_scale"],
+                                 do_rotate=cfg["do_rotate"],
+                                 do_rot90=cfg["do_rot90"],
+                                 do_flip=cfg["do_flip"])
+        return out[None, ..., None]
+
     # --- host parity path -----------------------------------------------------
 
     def __getitem__(self, index):

@@ -35,6 +35,9 @@ PRINT_FREQ=${PRINT_FREQ:-25}
 WATCHDOG=${WATCHDOG:-300}
 SEG_TIMEOUT=${SEG_TIMEOUT:-1500}
 EXTRA_TRAIN_FLAGS=${EXTRA_TRAIN_FLAGS:-}
+# training crop edge (CROP=144 for athena: its 6-D all-slices step at 148^3
+# exceeds the v5e compile-time HBM budget by 341 KB — docs/QUALITY.md r5)
+CROP=${CROP:-148}
 mkdir -p "$LOG"
 
 # GEN_FLAGS must match the study's intended volume (e.g. "--preset s4",
@@ -83,7 +86,7 @@ TRAIN_FLAGS="--dataroot $DATA/input --checkpoints_dir $CKPT --name $NAME \
  --preprocess random3Drotate_randomcrop_randomflip_addColorChannel_addBatchChannel \
  $MODEL_FLAGS --netG unet_deconv --netG_B deep_linear_gen \
  --netD basic --gan_mode lsgan --init_type kaiming --norm instance \
- --batch_size 1 --lambda_A 5 --crop_size 148 148 148 \
+ --batch_size 1 --lambda_A 5 --crop_size $CROP $CROP $CROP \
  --lr_policy constant \
  --precision bfloat16 --remat --save_by_iter --save_latest_freq $SAVE_FREQ \
  --print_freq $PRINT_FREQ --display_freq 1000000 --seed 0 \

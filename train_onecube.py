@@ -143,8 +143,15 @@ if __name__ == "__main__":
                 data_i = {"A": dataset.sample_batch(model.next_rng(), accum),
                           "A_paths": dataset.A_path}
         elif device_sampling:
-            data_i = {"A": dataset.sample(model.next_rng()),
-                      "A_paths": dataset.A_path}
+            # NEUROCLEAR_HOST_WINDOW=1: plan the crop on the host and upload
+            # only its gather window — frees the 686 MB resident volume for
+            # HBM-critical steps (athena 144^3; docs/QUALITY.md round 5)
+            if os.environ.get("NEUROCLEAR_HOST_WINDOW") == "1":
+                data_i = {"A": dataset.sample_host_window(model.next_rng()),
+                          "A_paths": dataset.A_path}
+            else:
+                data_i = {"A": dataset.sample(model.next_rng()),
+                          "A_paths": dataset.A_path}
         else:
             data_i = dataset[np.random.randint(0, 10)]
 
