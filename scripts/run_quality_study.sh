@@ -169,7 +169,12 @@ while true; do
   echo "=== segment $SEG from iter $P $(date +%H:%M:%S)" >> "$LOG/driver.log"
   run_child timeout $SEG_TIMEOUT python train_onecube.py $TRAIN_FLAGS $RESUME \
     --max_iters $SEG_ITERS >> "$LOG/train.log" 2>&1
-  echo "segment rc=$? last=$(last_ckpt) $(date +%H:%M:%S)" >> "$LOG/driver.log"
+  RC=$?
+  echo "segment rc=$RC last=$(last_ckpt) $(date +%H:%M:%S)" >> "$LOG/driver.log"
+  # failed segments leave the tunnel client's HBM draining asynchronously;
+  # an immediate relaunch collides with it and fails spuriously (observed
+  # as RESOURCE_EXHAUSTED on the first tiny transfer) — settle first
+  if [ "$RC" != 0 ]; then sleep 75; fi
   # AUTOBANK=1: bank every segment's latest checkpoints into the
   # git-tracked study_state/ dir (the builder session commits the bank).
   if [ "${AUTOBANK:-0}" = "1" ]; then
