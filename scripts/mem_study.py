@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--crop", type=int, default=148)
+    ap.add_argument("--model", default="axial_to_lateral_gan_apollo",
+                    help="model variant to analyze (apollo/athena/dryops)")
+    ap.add_argument("--conversion_plane", nargs=2, default=["yz", "xy"],
+                    help="athena/dryops source+target planes")
     ap.add_argument("--remat", action="store_true", default=True)
     ap.add_argument("--no-remat", dest="remat", action="store_false")
     ap.add_argument("--f32", action="store_true")
@@ -36,16 +40,20 @@ def main():
     argv = [
         "--dataroot", "/tmp/unused", "--name", "memstudy",
         "--checkpoints_dir", "/tmp/memstudy",
-        "--model", "axial_to_lateral_gan_apollo",
+        "--model", args.model,
         "--dataset_mode", "singlevolume",
         "--netG", "unet_deconv", "--netG_B", "deep_linear_gen",
         "--netD", "basic", "--gan_mode", "lsgan", "--init_type", "kaiming",
         "--norm", "instance", "--batch_size", "1",
-        "--lambda_A", "5", "--lambda_plane", "1", "1", "1",
-        "--randomize_projection_depth", "--projection_depth", "10",
+        "--lambda_A", "5",
         "--crop_size", str(c), str(c), str(c),
         "--lr_policy", "constant", "--seed", "0",
     ]
+    if "apollo" in args.model:
+        argv += ["--lambda_plane", "1", "1", "1",
+                 "--randomize_projection_depth", "--projection_depth", "10"]
+    else:
+        argv += ["--conversion_plane"] + list(args.conversion_plane)
     if not args.f32:
         argv += ["--precision", "bfloat16"]
     if args.remat:
@@ -63,8 +71,12 @@ def main():
     lr = jnp.float32(model.base_lr * model.lr_scale)
     g_params = {k: model.params[k] for k in ("G_A", "G_B")}
     d_params = {k: model.params[k] for k in model.model_names[2:]}
-    lowered = model._step.lower(g_params, d_params, model.opt_state,
-                                model.next_rng(), model.real, lr)
+    if "apollo" in args.model:
+        lowered = model._step.lower(g_params, d_params, model.opt_state,
+                                    model.next_rng(), model.real, lr)
+    else:  # athena/dryops: deterministic all-slices step, no PRNG arg
+        lowered = model._step.lower(g_params, d_params, model.opt_state,
+                                    model.real, lr)
     compiled = lowered.compile()
     ma = compiled.memory_analysis()
     print(ma)
