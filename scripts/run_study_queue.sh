@@ -68,13 +68,13 @@ if [[ "$SKIP" != *" athena "* ]] && ! study_done athena148 3000 .study/log_art; 
     python scripts/generate_synthetic.py --out .study/sim700_art --size 700 \
       --seed 0 --mode artifact || exit 1
   fi
-  # CROP=144: the 6-D all-slices step at 148^3 exceeds the v5e compile-time
-  # HBM budget (docs/QUALITY.md r5).  NEUROCLEAR_HOST_WINDOW=1: even at
-  # 144^3 the athena step leaves no room for the 686 MB HBM-resident
-  # volume — without it every segment dies RESOURCE_EXHAUSTED on the first
-  # device sync (observed 2026-08-21 19:40).
+  # CROP=128: AOT peak 8.64 GiB (scripts/mem_study.py --model ..athena --crop 128);
+  # at 144^3 the step alone peaks at 15.08 GiB with 15.88 GiB temps — over the
+  # chip even with nothing else resident.  NEUROCLEAR_HOST_WINDOW=1 keeps the
+  # 686 MB volume out of HBM as well — without both, every segment dies
+  # RESOURCE_EXHAUSTED on the first device sync (observed 2026-08-21 19:40).
   NAME=athena148 RESULTS=.study/results_art AUTOBANK=1 CLEAR_STOP=0 \
-    GEN_FLAGS="--mode artifact" CROP=144 NEUROCLEAR_HOST_WINDOW=1 \
+    GEN_FLAGS="--mode artifact" CROP=128 NEUROCLEAR_HOST_WINDOW=1 \
     MODEL_FLAGS="--model axial_to_lateral_gan_athena --conversion_plane yz xy" \
     EVALS="1500 3000" MAX_ITERS=3000 \
     SEG_ITERS=1000 SEG_TIMEOUT=4500 WATCHDOG=900 \
